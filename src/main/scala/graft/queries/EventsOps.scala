@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.dec
+
+/** Time-series / lake operators over the `events` table — the Spark
+  * re-expression of the reference's ingest-verify/resample/dedup surface
+  * (SURVEY §2: A3 resample, A5/W2 keep-last, A6 mode, W1 lag-diff,
+  * P8/P9 gap/overlap predicates, A9 conditional counts, T7 windows,
+  * F10 JSON, F1-F4 time functions).
+  *
+  * `ts` is handled as LONG epoch-nanoseconds end-to-end (see Tables.events);
+  * DuckDB oracle uses epoch_ns()/CAST(ts AS TIMESTAMP) equivalents. All
+  * window orderings are tie-free (ts is unique in the testdata, and keys
+  * include unique ids where it isn't guaranteed).
+  */
+object EventsOps {
+
+  /** OHLCV-style resample: tumbling 1-hour event-time window per series key
+    * (the reference's group_by_dynamic, SURVEY A3/T7). min_by/max_by give
+    * deterministic open/close regardless of partitioning (SURVEY §7.4 #3).
+    * One shuffle on (event_type, bucket); partial aggregation applies.
+    */
+  val resampleOhlcv: Q = Q(
+    "q20_resample_ohlcv",
+    """SELECT event_type,
+      |  CAST(epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_ms,
+      |  arg_min(value, ts) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  arg_max(value, ts) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type, bucket_ms
+      |ORDER BY event_type, bucket_ms""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bucket_ms", unix_millis(date_trunc("hour", timestamp_micros(Tables.nsToUs("ts")))))
+      .groupBy(col("event_type"), col("bucket_ms"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(dec(col("value"))).cast("double").as("volume"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  /** Gap/duplicate detection via lag-diff (W1/P8/P9/A9): per-user inter-event
+    * interval; count gaps (> 6h) and overlaps (<= 0) — the reference's
+    * verify_integrity report as one aggregation.
+    */
+  /** NOTE: all epoch arithmetic is done in MICROseconds on both sides —
+    * DuckDB truncates parquet TIMESTAMP(NANOS) to µs on read, so the
+    * canonical cross-engine epoch is `ts div 1000` == `epoch_us(ts)`.
+    */
+  val gapDetect: Q = Q(
+    "q21_gap_detect",
+    """WITH diffs AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS diff
+      |  FROM events)
+      |SELECT user_id,
+      |  COUNT(CASE WHEN diff > 21600000000 THEN 1 END) AS gap_count,
+      |  COUNT(CASE WHEN diff <= 0 THEN 1 END) AS overlap_count,
+      |  COUNT(diff) AS n_intervals
+      |FROM diffs
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.events(s, d)
+      .withColumn("ts_us", Tables.nsToUs("ts"))
+      .withColumn("diff", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("diff") > 21600000000L, 1)).as("gap_count"),
+        count(when(col("diff") <= 0, 1)).as("overlap_count"),
+        count(col("diff")).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  /** Mode of the inter-event interval (A6) — bucketed to the minute so the
+    * mode is meaningful — computed as groupBy+count+deterministic top-1
+    * (count DESC, key ASC) in both engines, avoiding engine-specific
+    * mode() tie-breaking.
+    */
+  val modeInterval: Q = Q(
+    "q22_mode_interval",
+    """WITH diffs AS (
+      |  SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (ORDER BY epoch_us(ts))) // 60000000 AS diff_min
+      |  FROM events)
+      |SELECT diff_min, COUNT(*) AS cnt FROM diffs
+      |WHERE diff_min IS NOT NULL
+      |GROUP BY diff_min
+      |ORDER BY cnt DESC, diff_min
+      |LIMIT 1""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("ts_us"))
+    Tables.events(s, d)
+      .withColumn("ts_us", Tables.nsToUs("ts"))
+      .select((col("ts_us") - lag(col("ts_us"), 1).over(w)).as("diff_us"))
+      .filter(col("diff_us").isNotNull)
+      .select(expr("diff_us div 60000000").as("diff_min"))
+      .groupBy(col("diff_min"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("diff_min"))
+      .limit(1)
+  }
+
+  /** Keep-last dedup per key (A5/W2/S6 upsert semantics): latest event per
+    * (user_id, event_type). ts is unique per key in the data; arg_max /
+    * max_by are the deterministic "last". At 100 TB this is one hash agg,
+    * not a window sort.
+    */
+  val keepLast: Q = Q(
+    "q23_keep_last",
+    """SELECT user_id, event_type,
+      |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+      |  arg_max(value, epoch_us(ts)) AS last_value,
+      |  COUNT(*) AS n_superseded
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ts_us", Tables.nsToUs("ts"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(col("ts_us")).as("last_ts_us"),
+        max_by(col("value"), col("ts_us")).as("last_value"),
+        count(lit(1)).as("n_superseded"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** JSON metadata extraction (F10/P7: the reference's metadata_json filter). */
+  val jsonExtract: Q = Q(
+    "q24_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY k_bucket
+      |ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("k_bucket")
+  }
+
+  /** Sliding event-time window (T7 [EXT]): 2-hour window sliding by 1 hour,
+    * per event_type — Spark window(); oracle = explicit 2-bucket union.
+    */
+  val slidingWindow: Q = Q(
+    "q25_sliding_window",
+    """WITH hours AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h, value FROM events)
+      |SELECT event_type, CAST(win_start AS BIGINT) AS win_start_ms, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT event_type, h AS win_start, value FROM hours
+      |  UNION ALL
+      |  SELECT event_type, h - 3600000 AS win_start, value FROM hours)
+      |GROUP BY event_type, win_start
+      |ORDER BY event_type, win_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("t", timestamp_micros(Tables.nsToUs("ts")))
+      .groupBy(col("event_type"), window(col("t"), "2 hours", "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("event_type"), unix_millis(col("win.start")).as("win_start_ms"),
+        col("n"), col("total"))
+      .orderBy("event_type", "win_start_ms")
+  }
+
+  /** Time functions suite (F1-F4): epoch→timestamp→date/truncate/format. */
+  val timeFunctions: Q = Q(
+    "q26_time_functions",
+    """SELECT CAST(strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS VARCHAR) AS day_str,
+      |  CAST(epoch_ms(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_ms,
+      |  COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY day_str, day_ms
+      |ORDER BY day_str""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("t", timestamp_micros(Tables.nsToUs("ts")))
+      .groupBy(
+        date_format(col("t"), "yyyyMMdd").as("day_str"),
+        unix_millis(date_trunc("day", col("t"))).as("day_ms"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day_str")
+  }
+
+  /** Batch-upsert merge (S6/J3/T3): two simulated ingest batches (overlapping
+    * key ranges) merged with keep-last-by-batch semantics — explicit _batch
+    * rank makes "last" well-defined under shuffling (SURVEY §7.4 #2).
+    */
+  val upsertMerge: Q = Q(
+    "q27_upsert_merge",
+    """WITH b1 AS (SELECT event_id, value, 1 AS _batch FROM events WHERE event_id < 6000),
+      |b2 AS (SELECT event_id, value + 1000.0 AS value, 2 AS _batch FROM events WHERE event_id >= 4000 AND event_id < 8000),
+      |merged AS (
+      |  SELECT event_id, value, _batch,
+      |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY _batch DESC) AS rn
+      |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+      |SELECT event_id, value FROM merged WHERE rn = 1
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val b1 = ev.filter(col("event_id") < 6000)
+      .select(col("event_id"), col("value"), lit(1).as("_batch"))
+    val b2 = ev.filter(col("event_id") >= 4000 && col("event_id") < 8000)
+      .select(col("event_id"), (col("value") + 1000.0).as("value"), lit(2).as("_batch"))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("_batch").desc)
+    b1.unionByName(b2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    resampleOhlcv, gapDetect, modeInterval, keepLast, jsonExtract,
+    slidingWindow, timeFunctions, upsertMerge)
+}

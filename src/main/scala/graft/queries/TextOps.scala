@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-data-pipeline text operators over `documents` (SURVEY §2.10 [EXT] /
+  * BASELINE north star): exact dedup, token stats, quality scoring,
+  * language-ID heuristic, shingling and n-gram Jaccard near-dup.
+  *
+  * Scale design: everything here is a scan + per-row array ops + hash agg
+  * or an equi-join on a shingle/fingerprint key — no cross products, no
+  * driver-side collects. The Jaccard pair search joins on shingle buckets
+  * (candidate generation) before scoring, which is the same banding trick
+  * MinHash-LSH uses, so the plan shape survives 100 TB.
+  */
+object TextOps {
+
+  /** Exact dedup fingerprint (sha256 of text) + per-fingerprint counts. */
+  val exactDedup: Q = Q(
+    "q30_exact_dedup",
+    """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+      |FROM (SELECT doc_id, sha256(text) AS fp FROM documents)
+      |GROUP BY fp
+      |ORDER BY fp""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy("fp")
+  }
+
+  /** Token counting + vocabulary stats per document (whitespace tokens). */
+  val tokenStats: Q = Q(
+    "q31_token_stats",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, mean token length, type-token ratio —
+    * the length/stopword heuristics of a training-data quality filter.
+    * Ratios are exact-int divisions done in DOUBLE on both sides.
+    */
+  val qualityScore: Q = Q(
+    "q32_quality_score",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |         length(replace(text, ' ', '')) AS letters
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN len(list_filter(toks, x -> x IN ('a','the'))) * 1.0 / len(toks) > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_heavy,
+      |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(letters) AS BIGINT) AS total_letters
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks.as("toks"),
+        length(regexp_replace(col("text"), " ", "")).as("letters"))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), x => x.isin("a", "the"))) * lit(1.0) / size(col("toks")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("stop_ratio") > 0.1, 1).otherwise(0)).cast("long").as("n_stopword_heavy"),
+        sum(size(col("toks"))).cast("long").as("total_tokens"),
+        sum(col("letters")).cast("long").as("total_letters"))
+      .orderBy("source")
+  }
+
+  /** Language-ID heuristic: score = fraction of tokens that are common
+    * English function words; classify en/unknown. (Real n-gram LID lives in
+    * graft.llm.LangId; this is its SQL-expressible core.)
+    */
+  val langId: Q = Q(
+    "q33_lang_id",
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('a','the','of','and','to','in'))) * 1.0
+      |      / len(string_split(text, ' ')) AS en_score
+      |  FROM documents)
+      |SELECT CASE WHEN en_score >= 0.02 THEN 'en' ELSE 'unknown' END AS predicted,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_actual_en
+      |FROM scored
+      |GROUP BY predicted
+      |ORDER BY predicted""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (size(filter(toks, x => x.isin("a", "the", "of", "and", "to", "in"))) * lit(1.0) /
+          size(toks)).as("en_score"))
+      .select(
+        when(col("en_score") >= 0.02, "en").otherwise("unknown").as("predicted"),
+        col("lang"))
+      .groupBy(col("predicted"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).cast("long").as("n_actual_en"))
+      .orderBy("predicted")
+  }
+
+  /** Word-3-gram shingle inventory per doc (the candidate-generation input
+    * for near-dup detection). Distinct shingles per doc, global stats.
+    */
+  val shingleStats: Q = Q(
+    "q34_shingle_stats",
+    """WITH sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents)
+      |SELECT shingle, COUNT(*) AS df
+      |FROM sh
+      |GROUP BY shingle
+      |HAVING COUNT(*) >= 5
+      |ORDER BY shingle""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextShingles.wordShingles(col("text"), 3)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .orderBy("shingle")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    * equi-join on shingle (banding-style candidate generation), score
+    * |A∩B| / |A∪B|, threshold. This is the exact oracle that the MinHash
+    * LSH pipeline (graft.llm.MinHashDedup) approximates.
+    */
+  val jaccardPairs: Q = Q(
+    "q35_jaccard_pairs",
+    """WITH sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b,
+      |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.12
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextShingles.wordShingles(col("text"), 3)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val pairs = a.join(b, a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") * lit(1.0) /
+      (col("sa.n") + col("sb.n") - col("inter"))
+    pairs
+      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.12)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(
+    exactDedup, tokenStats, qualityScore, langId, shingleStats, jaccardPairs)
+}
+
+/** Shared shingling helpers (column-level, codegen-friendly built-ins). */
+object TextShingles {
+  import org.apache.spark.sql.Column
+
+  /** Distinct word n-gram shingles of a text column, as array<string>.
+    * Pure built-ins (split/sequence/transform/element_at) — stays inside
+    * whole-stage codegen; no UDF.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // Spark sequence(1, 0) counts DOWN, unlike DuckDB generate_series —
+    // guard short docs with an explicit empty array.
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
