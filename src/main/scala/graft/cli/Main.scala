@@ -1,0 +1,95 @@
+package graft.cli
+
+import graft.catalog.ManifestCatalog
+import graft.core.Sessions
+import graft.features.FeatureStore
+import graft.ingest.CsvIngest
+import graft.model.ManifestEntry
+import graft.ops.SeriesOps
+import graft.storage.{LakeReader, LakeWriter, SeriesKey}
+
+/** Thin CLI over the engine (SURVEY §7.1 #9), mirroring
+  * `dl-datalake/src/dl_datalake/cli.py:13-222` commands. The REST layer is
+  * serving, not computing — this covers the same query paths.
+  *
+  * Usage:
+  *   graft.cli.Main <lakeRoot> init
+  *   graft.cli.Main <lakeRoot> ingest <csv> <exchange> <market> <symbol> [period]
+  *   graft.cli.Main <lakeRoot> read <exchange> <symbol> <type> <startMs> <endMs> [limit]
+  *   graft.cli.Main <lakeRoot> resample <exchange> <symbol> <timeframe>
+  *   graft.cli.Main <lakeRoot> list [symbol]
+  *   graft.cli.Main <lakeRoot> verify <exchange> <symbol> <type>
+  *   graft.cli.Main <lakeRoot> delete <exchange> <symbol>
+  *   graft.cli.Main <lakeRoot> upload-feature <file> <set> <version>
+  *   graft.cli.Main <lakeRoot> features
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Main <lakeRoot> <command> [args...]")
+    val root = args(0)
+    val cmd = args(1)
+    val rest = args.drop(2)
+    val spark = Sessions.local(appName = s"graft-$cmd")
+    spark.sparkContext.setLogLevel("WARN")
+    val catalog = new ManifestCatalog(spark, root)
+    val writer = new LakeWriter(spark, root)
+    val reader = new LakeReader(spark, root)
+
+    cmd match {
+      case "init" =>
+        println(s"initialized lake at $root")
+
+      case "ingest" =>
+        val Array(csv, ex, mkt, sym) = rest.take(4)
+        val period = rest.lift(4).getOrElse("1m")
+        val rep = new CsvIngest(spark, writer, catalog).ingestCsv(csv, ex, mkt, sym, period)
+        println(s"ingested rows=${rep.rows} from=${rep.timeFrom} to=${rep.timeTo} " +
+          s"monotonic=${rep.monotonic} partitions=${rep.partitions}")
+
+      case "read" =>
+        val Array(ex, sym, typ, start, end) = rest.take(5)
+        val limit = rest.lift(5).map(_.toInt).getOrElse(20)
+        reader.readRange(ex, sym, typ, start.toLong, end.toLong)
+          .show(limit, truncate = false)
+
+      case "resample" =>
+        val Array(ex, sym, tf) = rest.take(3)
+        val src = reader.readRange(ex, sym, "raw", 0L, Long.MaxValue)
+        val res = SeriesOps.resampleOhlcv(src, tf)
+          .withColumnRenamed("bucket_ts", "bucket")
+        val out = res.selectExpr("bucket AS ts", "open", "high", "low", "close", "volume")
+        val skey = SeriesKey(ex, "agg", sym, "agg", tf).sanitized
+        val rep = writer.writeOhlc(out, skey)
+        catalog.addEntry(ManifestEntry(ex, "agg", sym,
+          s"exchange=${skey.exchange}/market=${skey.market}/symbol=${skey.symbol}/type=agg/period=$tf",
+          "agg", rep.timeFrom, rep.timeTo, "1", "", System.currentTimeMillis(), "",
+          s"""{"timeframe": "$tf"}"""))
+        println(s"resampled to $tf: rows=${rep.rows} monotonic=${rep.monotonic}")
+
+      case "list" =>
+        catalog.listEntries(symbol = rest.headOption).show(100, truncate = false)
+
+      case "verify" =>
+        val Array(ex, sym, typ) = rest.take(3)
+        val df = reader.readRange(ex, sym, typ, 0L, Long.MaxValue)
+        SeriesOps.verifyIntegrity(df).show(truncate = false)
+
+      case "delete" =>
+        val Array(ex, sym) = rest.take(2)
+        val n = catalog.deleteEntries(exchange = Some(ex), symbol = Some(sym))
+        println(s"tombstoned $n catalog entries for $ex/$sym")
+
+      case "upload-feature" =>
+        val Array(file, set, version) = rest.take(3)
+        val e = new FeatureStore(spark, root, catalog).upload(file, set, version)
+        println(s"uploaded $set v$version checksum=${e.checksum} path=${e.path}")
+
+      case "features" =>
+        new FeatureStore(spark, root, catalog).listSets().show(truncate = false)
+
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+}

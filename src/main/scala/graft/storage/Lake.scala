@@ -1,0 +1,190 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Symbols
+
+/** Series coordinates — the reference's partition tuple
+  * (`dl-datalake/src/dl_datalake/storage/writer.py:35-46`).
+  */
+final case class SeriesKey(exchange: String, market: String, symbol: String,
+                           `type`: String, period: String) {
+  def sanitized: SeriesKey = SeriesKey(
+    Symbols.sanitize(exchange), Symbols.sanitize(market),
+    Symbols.sanitize(symbol), `type`, period)
+}
+
+/** Post-write integrity report (`writer.py:108-132`). */
+final case class WriteReport(rows: Long, timeFrom: Long, timeTo: Long,
+                             monotonic: Boolean, partitions: Long)
+
+/** Partitioned-Parquet lake storage (SURVEY §7.1 #4).
+  *
+  * Layout: Hive-style `exchange=/market=/symbol=/type=/period=/year=/month=`
+  * under one root — the Spark-native form of the reference's
+  * `{EX}/{MKT}/{SYM}/{type}/{period}/{YYYY}/{MM}/` monthly files
+  * (`writer.py:21-46`); key=value dirs give Catalyst partition pruning on
+  * every level for free.
+  *
+  * Scale notes:
+  *  - merge-write reads ONLY the months touched by the incoming batch
+  *    (month-list pushed into the scan) and dynamic partition overwrite
+  *    rewrites only those directories — incremental cost is O(touched
+  *    months), not O(table);
+  *  - keep-last dedup is a window over (series, ts) ordered by an explicit
+  *    `_batch` sequence — well-defined under shuffling (SURVEY §7.4 #2),
+  *    where the reference relied on Polars concat order (`writer.py:86-92`);
+  *  - data is sorted by ts within each written file so Parquet row-group
+  *    min/max stats stay tight for ts-range pushdown (`writer.py:92`).
+  */
+final class LakeWriter(spark: SparkSession, root: String) {
+
+  private val partCols = Seq("exchange", "market", "symbol", "type", "period", "year", "month")
+
+  private def withPartitionCols(df: DataFrame, key: SeriesKey): DataFrame = {
+    val k = key.sanitized
+    val t = timestamp_millis(col("ts"))
+    df.withColumn("exchange", lit(k.exchange))
+      .withColumn("market", lit(k.market))
+      .withColumn("symbol", lit(k.symbol))
+      .withColumn("type", lit(k.`type`))
+      .withColumn("period", lit(k.period))
+      .withColumn("year", year(t))
+      .withColumn("month", month(t))
+  }
+
+  /** Merge-write (upsert) a batch into the series: last-wins on `ts`
+    * vs rows already in the lake (S6/J3/A5/W2). Requires a `ts` column
+    * (epoch-ms), as the reference does (`writer.py:162-164`).
+    */
+  def writeOhlc(df: DataFrame, key: SeriesKey): WriteReport = {
+    require(df.columns.contains("ts"), "OHLCV dataframe must contain a 'ts' column")
+    val k = key.sanitized
+    val incoming = withPartitionCols(df, k).withColumn("_batch", lit(1))
+
+    // Months touched by this batch — drives both the existing-data scan
+    // and (via dynamic overwrite) which directories get rewritten.
+    val touched = incoming.select(col("year"), col("month")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+
+    val existing = readSeries(k) match {
+      case Some(cur) =>
+        val monthPred = touched.map { case (y, m) => col("year") === y && col("month") === m }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        // Materialize the touched months (bounded: O(incoming batch span),
+        // not O(table)) and truncate lineage — the write below overwrites
+        // the very directories this scan reads, which Spark (correctly)
+        // refuses inside one plan.
+        Some(withPartitionCols(cur, k).filter(monthPred).withColumn("_batch", lit(0))
+          .localCheckpoint(true))
+      case None => None
+    }
+
+    val unioned = existing match {
+      case Some(e) => e.unionByName(incoming, allowMissingColumns = true)
+      case None => incoming
+    }
+
+    val keyCols = Seq(col("exchange"), col("market"), col("symbol"),
+      col("type"), col("period"), col("ts"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("_batch").desc)
+    val merged = unioned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch")
+
+    merged
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions("ts")
+      .write
+      .mode(SaveMode.Overwrite) // dynamic partitionOverwriteMode: only touched dirs
+      .option("compression", "snappy")
+      .partitionBy(partCols: _*)
+      .parquet(root)
+
+    verifySeries(k, touched)
+  }
+
+  /** Tick write path: identical semantics, open schema with required ts
+    * (`writer.py:190-232`).
+    */
+  def writeTicks(df: DataFrame, key: SeriesKey): WriteReport =
+    writeOhlc(df, key.copy(`type` = "ticks"))
+
+  private def readSeries(k: SeriesKey): Option[DataFrame] =
+    try {
+      val df = spark.read.option("mergeSchema", "true").parquet(root)
+        .filter(col("exchange") === k.exchange && col("market") === k.market &&
+          col("symbol") === k.symbol && col("type") === k.`type` &&
+          col("period") === k.period)
+      df.schema // force analysis
+      Some(df.drop(partCols: _*))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Post-write verify (`writer.py:108-132`): reread count, ts bounds,
+    * global monotonicity (strict, per series).
+    */
+  private def verifySeries(k: SeriesKey, touched: Set[(Int, Int)]): WriteReport = {
+    val df = readSeries(k).get
+    val w = Window.partitionBy(lit(1)).orderBy(col("ts"))
+    val stats = df
+      .select(col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .agg(count(lit(1)).as("n"), min("ts").as("from"), max("ts").as("to"),
+        count(when(col("ts") <= col("prev"), 1)).as("nonmono"))
+      .head()
+    WriteReport(stats.getLong(0), stats.getLong(1), stats.getLong(2),
+      stats.getLong(3) == 0L, touched.size.toLong)
+  }
+}
+
+/** Pruned reads over the lake (SURVEY §7.1 #4: S1/P1/O1, S10/O2, U2). */
+final class LakeReader(spark: SparkSession, root: String) {
+
+  private def base(mergeSchema: Boolean): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(root)
+
+  /** Range scan: partition-pruned by series key AND by year/month bounds
+    * derived from the ts range (exceeding the reference, which only
+    * filters on ts — SURVEY §4 "partition pruning"), then ts row filter,
+    * ordered by ts. Market is optional (wildcard market level, reader.py:44).
+    */
+  def readRange(exchange: String, symbol: String, `type`: String,
+                startMs: Long, endMs: Long,
+                market: Option[String] = None,
+                period: Option[String] = None,
+                mergeSchema: Boolean = false): DataFrame = {
+    var df = base(mergeSchema)
+      .filter(col("exchange") === Symbols.sanitize(exchange) &&
+        col("symbol") === Symbols.sanitize(symbol) && col("type") === `type`)
+    market.foreach(m => df = df.filter(col("market") === Symbols.sanitize(m)))
+    period.foreach(p => df = df.filter(col("period") === p))
+    df.filter(monthBounds(startMs, endMs) && col("ts").between(startMs, endMs))
+      .orderBy("ts")
+  }
+
+  /** year/month partition predicate implied by a ts range: prunes month
+    * directories before any file is opened. Bounds are clamped to
+    * [1970-01, 9999-12] (ts is epoch-ms ≥ 0 in this lake) and the key is
+    * computed in Long — year*100 overflows Int for sentinel ranges like
+    * (0, Long.MaxValue).
+    */
+  private def monthBounds(startMs: Long, endMs: Long): Column = {
+    def key(ms: Long): Long = {
+      val clamped = math.min(math.max(ms, 0L), 253402300799999L) // ≤ 9999-12-31
+      val ym = java.time.YearMonth.from(
+        java.time.Instant.ofEpochMilli(clamped).atZone(java.time.ZoneOffset.UTC))
+      ym.getYear.toLong * 100L + ym.getMonthValue
+    }
+    (col("year").cast("long") * 100L + col("month")).between(key(startMs), key(endMs))
+  }
+
+  /** Stable pagination (S10/O2): global order by ts, offset/limit. */
+  def page(df: DataFrame, offset: Int, limit: Int): DataFrame =
+    df.orderBy("ts").offset(offset).limit(limit)
+
+  /** Distinct symbols present in the lake (S13/A7/U4). */
+  def listSymbols(): DataFrame =
+    base(mergeSchema = false).select("symbol").distinct().orderBy("symbol")
+}
