@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.TextShingles
+
+/** Near-duplicate detection for training-data pipelines (SURVEY §2.10
+  * [EXT], BASELINE north star). All plans are banding-join shaped: no
+  * cross product ever touches the corpus, so the same plan runs at
+  * 100 TB — candidate generation is an equi-join on (band, key), and
+  * expensive verification only runs on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: sha256 text fingerprint, keep min(id) per group
+    * (hash-groupBy — one shuffle on the fingerprint).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), sha2(col(textCol), 256).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+    *
+    * shingle(n words) → md5-based minhash signature (numPerms) → split
+    * into bands of rowsPerBand → equi-join docs sharing any band key →
+    * distinct candidate pairs → exact Jaccard on candidates only.
+    *
+    * Scale shape: explode is numBands rows/doc; the join shuffles on
+    * (band index, band key); hot buckets are bounded because identical
+    * band keys imply near-identical signatures. Verification re-joins
+    * the (small) candidate set against per-doc shingle sets.
+    */
+  def minhashLsh(docs: DataFrame, shingleLen: Int = 3, numPerms: Int = 16,
+                 bands: Int = 8, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val withShingles = docs
+      .select(col(idCol).as("doc_id"),
+        TextShingles.wordShingles(col(textCol), shingleLen).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sigs = withShingles
+      .withColumn("sig", TextHash.minhash(col("shingles"), numPerms))
+      .select(col("doc_id"), col("shingles"),
+        posexplode(TextHash.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+
+    val a = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("band"), col("key"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("band"), col("key"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    // exact Jaccard only on candidates
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
+  }
+
+  /** SimHash fingerprints: 32-bit per doc over whitespace tokens. Pairs
+    * within a Hamming radius are found by joining on byte-bands (any of
+    * the 4 bytes equal ⇒ candidate — exact for radius ≤ 3 by pigeonhole
+    * when radius < bands).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextHash.simhash32(split(col(textCol), " ")).as("simhash"))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = simhash(docs, idCol, textCol)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 8) % 256): _*)).as(Seq("band", "key")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", TextHash.hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Order-sensitive rolling-hash document fingerprint (content identity
+    * robust to whitespace normalization choices made upstream).
+    */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextHash.rollingFingerprint(split(col(textCol), " ")).as("fingerprint"))
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE north star): image/audio/video
+  * as opaque `binary` columns with typed metadata, processed in batches
+  * per partition.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB; everything around it — the schema,
+  * the binaryFile source mapping, the per-partition batch execution
+  * shape, partition sizing — is real and tested. Swap `decodeStub` for a
+  * JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),            // image | audio | video
+    StructField("content", BinaryType),              // opaque payload
+    StructField("meta", StructType(Seq(              // typed metadata
+      StructField("source", StringType),
+      StructField("mime", StringType),
+      StructField("created_ms", LongType))))))
+
+  /** Extracted-feature schema produced by [[featurize]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("byte_len", LongType),
+    StructField("content_sha", StringType),
+    StructField("width", IntegerType),               // stub-decoded
+    StructField("height", IntegerType),              // stub-decoded
+    StructField("feat", ArrayType(FloatType))))      // stub embedding
+
+  /** Wrap a `binaryFile` scan (path,length,content) into the media table
+    * shape — the ingest mapping for real assets on disk.
+    */
+  def fromBinaryFiles(spark: SparkSession, glob: String, modality: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(
+        abs(xxhash64(col("path"))).as("media_id"),
+        lit(modality).as("modality"),
+        col("content"),
+        struct(col("path").as("source"), lit("application/octet-stream").as("mime"),
+          unix_millis(col("modificationTime")).as("created_ms")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-decode of a binary payload.
+    * Real implementation would call an image/audio codec here (???);
+    * this fake derives (width, height, 8-dim feature) from content
+    * bytes so tests exercise the full batch pipeline deterministically.
+    */
+  def decodeStub(content: Array[Byte]): (Int, Int, Array[Float]) = {
+    if (content == null || content.isEmpty) (0, 0, Array.fill(8)(0.0f))
+    else {
+      val h = java.util.Arrays.hashCode(content)
+      val width = math.abs(h % 1920) + 1
+      val height = math.abs((h / 1920) % 1080) + 1
+      val feat = (0 until 8).map(i =>
+        ((content(i % content.length) & 0xff) / 255.0f)).toArray
+      (width, height, feat)
+    }
+  }
+
+  /** Batch feature extraction: per-partition iteration (the Scala analog
+    * of `mapInPandas` — one decoder init per partition, streaming rows).
+    * Null-safe, constant memory per batch.
+    */
+  def featurize(media: DataFrame): DataFrame = {
+    val rows: Dataset[Row] = media.select("media_id", "modality", "content")
+      .repartition(col("media_id")) // spread decode work evenly
+    rows.mapPartitions { it =>
+      // per-partition decoder init would go here (codec handle, model…)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val (w, h, feat) = decodeStub(content)
+        val digest =
+          if (content == null) ""
+          else { sha.reset(); sha.digest(content).map("%02x".format(_)).mkString }
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+          if (content == null) 0L else content.length.toLong,
+          digest, w, h, feat)
+      }
+    }(org.apache.spark.sql.Encoders.row(featureSchema)).toDF()
+  }
+}

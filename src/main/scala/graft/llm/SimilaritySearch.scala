@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Embeddings.{cosine, dot, norm}
+
+/** Approximate-nearest-neighbor search over an `embedding: array<float>`
+  * column (BASELINE north star).
+  *
+  * Brute-force path: broadcast the (small) query set against the corpus —
+  * the corpus never shuffles; per-query top-k reduces via window. This is
+  * the exactness baseline and the right plan when |queries| is small.
+  *
+  * LSH path: random-hyperplane signs bucket the corpus once (signs are
+  * md5-derived integers, deterministic across engines); queries probe
+  * only their bucket (plus optional multi-probe neighbors). At 100 TB the
+  * bucketed corpus is written partitioned by bucket, so a probe is a
+  * partition-pruned scan, not a full pass.
+  */
+object SimilaritySearch {
+
+  /** Deterministic hyperplane weight for (plane h, dim j): md5-derived
+    * integer in [-500, 500) — integer weights so both engines compute
+    * identical sign bits.
+    */
+  private def weight(h: Int, j: Int): Int =
+    (BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${h}_$j".getBytes).take(4).map("%02x".format(_)).mkString, 16) % 1000 - 500).toInt
+
+  /** The same weight, for generating the DuckDB oracle SQL. */
+  def duckWeight(h: Int, j: Int): Int = weight(h, j)
+
+  /** Sum_j emb[j] * w(h, j) — sequential fold, same order both engines. */
+  def planeDot(emb: Column, h: Int, dim: Int): Column =
+    (0 until dim).map(j => element_at(emb, j + 1).cast("double") * lit(weight(h, j)))
+      .reduce(_ + _)
+
+  /** LSH bucket id: sign bits of `planes` hyperplane dots. */
+  def bucketId(emb: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map(h => when(planeDot(emb, h, dim) > 0, lit(1L << h)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Exact brute-force cosine top-k for a query set (must be broadcast-small). */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val sims = corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        cosine(col("q_emb"), col(embCol)).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Corpus bucketed by hyperplane LSH (the index build). */
+  def bucketize(corpus: DataFrame, planes: Int = 8, dim: Int = 64,
+                embCol: String = "embedding"): DataFrame =
+    corpus.withColumn("bucket", bucketId(col(embCol), planes, dim))
+
+  /** ANN top-k with multi-probe: each query probes its own bucket plus
+    * every bucket within Hamming distance `probeRadius` of it (flip 1
+    * sign bit ⇒ planes extra probes; radius 2 ⇒ +planes·(planes-1)/2).
+    * The query side explodes — the CORPUS never replicates, so cost is
+    * |probes| × (corpus/2^planes) candidate rows. Recall trades against
+    * planes/probeRadius; the exact `topK` is the oracle.
+    */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, dim: Int = 64, probeRadius: Int = 1,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bCorpus = bucketize(corpus, planes, dim, embCol)
+    val probeCols: Column => Seq[Column] = b => {
+      val r0 = Seq(b)
+      val r1 = if (probeRadius >= 1) (0 until planes).map(h => b.bitwiseXOR(lit(1L << h)))
+               else Nil
+      val r2 = if (probeRadius >= 2)
+        (for { h1 <- 0 until planes; h2 <- (h1 + 1) until planes }
+          yield b.bitwiseXOR(lit((1L << h1) | (1L << h2))))
+      else Nil
+      r0 ++ r1 ++ r2
+    }
+    val bQueries = bucketize(queries, planes, dim, embCol)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+        explode(array(probeCols(col("bucket")): _*)).as("bucket"))
+    val sims = bCorpus.join(broadcast(bQueries), Seq("bucket"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        cosine(col("q_emb"), col(embCol)).as("sim"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Exact cosine near-duplicate pairs above a threshold. O(N²/2) —
+    * correct as an oracle at test scale; the LSH bucket join is the
+    * production path.
+    */
+  def cosinePairsExact(corpus: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** LSH-bucketed near-duplicate pairs: same-bucket candidates only. */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double,
+                     planes: Int = 8, dim: Int = 64,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bucketed = bucketize(corpus, planes, dim, embCol)
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine hashing for the LLM dedup operators.
+  *
+  * Everything is built on md5 — the one hash both Spark and DuckDB
+  * implement identically — so every signature here is verifiable against
+  * a DuckDB oracle bit-for-bit (Spark `hash()` is Murmur3-with-seed,
+  * DuckDB `hash()` is its own thing; neither matches the other).
+  *
+  * All arithmetic stays below 2^62: hashes are reduced mod P = 1e9+7
+  * (< 2^30) before the affine `(a*h + b) mod P` step, so products fit a
+  * signed 64-bit lane in both engines.
+  */
+object TextHash {
+  /** Prime modulus for MinHash permutations (fits 30 bits). */
+  val P: Long = 1000000007L
+
+  /** Deterministic per-permutation affine constants (odd multiplier). */
+  def aConst(i: Int): Long = ((i.toLong * 2654435761L) % P) | 1L
+  def bConst(i: Int): Long = (i.toLong * 40503L * 65537L + 17L) % P
+
+  /** First 15 md5 hex chars as a positive long (60 bits). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** First 8 md5 hex chars as a positive long (32 bits) — token hash for
+    * SimHash bit voting.
+    */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature of a distinct-shingle array: for permutation i,
+    * min over shingles of (a_i * (md5(s) mod P) + b_i) mod P.
+    * Pure built-ins (transform + array_min) — codegen-friendly, no UDF.
+    */
+  def minhash(shingles: Column, numPerms: Int): Column =
+    array((0 until numPerms).map { i =>
+      array_min(transform(shingles, s =>
+        (lit(aConst(i)) * (md5Long(s) % P) + lit(bConst(i))) % P))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
+    * each group rendered "v1_v2_..." — equal band key ⇒ LSH candidate.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** 32-bit SimHash of a token array: bit j is set iff the sum over
+    * tokens of ±1 votes (sign of bit j of md5Int(token)) is positive.
+    */
+  def simhash32(tokens: Column): Column = {
+    val votes = (0 until 32).map { j =>
+      // vote_j = sum over tokens of (2*bit_j - 1)
+      aggregate(tokens, lit(0L), (acc, t) =>
+        acc + (shiftright(md5Int(t), j) % 2) * 2 - 1)
+    }
+    (0 until 32).map(j => when(votes(j) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** Hamming distance between two long fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint of a token array:
+    * fold h -> (h*31 + md5(token) mod P) mod P. Order-sensitive (it's a
+    * document fingerprint, not a set signature).
+    */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => (acc * 31L + md5Long(t) % P) % P)
+
+  // ---- DuckDB oracle fragments (same constants, same arithmetic) ----
+
+  /** DuckDB: md5-based 60-bit hash of an expression. */
+  def duckMd5Long(e: String): String =
+    s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  def duckMd5Int(e: String): String =
+    s"('0x' || substr(md5($e),1,8))::BIGINT"
+
+  /** DuckDB: minhash signature as a LIST, same perms as [[minhash]]. */
+  def duckMinhash(shinglesExpr: String, numPerms: Int): String =
+    "[" + (0 until numPerms).map { i =>
+      s"list_min(list_transform($shinglesExpr, s -> (${aConst(i)} * (${duckMd5Long("s")} % $P) + ${bConst(i)}) % $P))"
+    }.mkString(", ") + "]"
+
+  /** DuckDB: band keys for a signature list column named `sigCol`. */
+  def duckBandKeys(sigCol: String, bands: Int, rowsPerBand: Int): String =
+    "[" + (0 until bands).map { b =>
+      (0 until rowsPerBand).map(r => s"$sigCol[${b * rowsPerBand + r + 1}]::VARCHAR")
+        .mkString("concat_ws('_', ", ", ", ")")
+    }.mkString(", ") + "]"
+
+  /** DuckDB: 32-bit simhash over a token-list expression. */
+  def duckSimhash32(toksExpr: String): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_aggregate(list_transform($toksExpr, t -> ((${duckMd5Int("t")} >> $j) % 2) * 2 - 1), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, SimilaritySearch, TextHash}
+
+/** Oracle-checked queries for the LLM-pipeline operators (BASELINE north
+  * star): MinHash-LSH near-dup, SimHash, rolling fingerprints,
+  * multimodal binary columns, exact/LSH embedding near-dup. The DuckDB
+  * oracle SQL for the hash-based ops is GENERATED from the same
+  * constants as the Spark plan (graft.llm.TextHash), so the comparison
+  * is bit-exact.
+  */
+object LlmOps {
+
+  private val shingleSql =
+    """list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification
+    * (16 perms, 8 bands × 2 rows). The oracle replays the identical
+    * signature arithmetic in DuckDB.
+    */
+  val minhashLsh: Q = Q(
+    "q36_minhash_lsh",
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingleSql AS shingles FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |sig AS (
+       |  SELECT doc_id, shingles, ${TextHash.duckMinhash("shingles", 16)} AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, shingles, UNNEST(${TextHash.duckBandKeys("sig", 8, 2)}) AS key,
+       |         UNNEST(generate_series(0, 7)) AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+       |FROM verified
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.minhashLsh(Tables.documents(s, d))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash 32-bit fingerprint per document — generated-oracle parity
+    * of the bitwise voting arithmetic.
+    */
+  val simhashFp: Q = Q(
+    "q37_simhash",
+    s"""SELECT doc_id, ${TextHash.duckSimhash32("string_split(text, ' ')")} AS simhash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Rolling polynomial document fingerprint (order-sensitive). */
+  val docFingerprint: Q = Q(
+    "q38_doc_fingerprint",
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+       |    t -> ${TextHash.duckMd5Long("t")} % ${TextHash.P})),
+       |    (acc, h) -> (acc * 31 + h) % ${TextHash.P}) AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.fingerprints(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Multimodal binary-column ops: documents' text treated as an opaque
+    * blob — byte length, sha256, md5-derived stub dimensions. The
+    * decode itself is stubbed (no codecs in-container); the binary
+    * plumbing is what's verified.
+    */
+  val multimodalMeta: Q = Q(
+    "q39_multimodal_meta",
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS byte_len,
+       |  sha256(text) AS content_sha,
+       |  (${TextHash.duckMd5Int("text")} % 1920)::BIGINT AS stub_width,
+       |  (${TextHash.duckMd5Int("text")} % 1080)::BIGINT AS stub_height
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+        sha2(col("text"), 256).as("content_sha"),
+        (TextHash.md5Int(col("text")) % 1920).as("stub_width"),
+        (TextHash.md5Int(col("text")) % 1080).as("stub_height"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact embedding near-duplicate pairs (cosine ≥ 0.2) — the oracle
+    * for the LSH-bucketed production path (verified by recall spec).
+    */
+  val embeddingNearDup: Q = Q(
+    "q43_embedding_near_dup",
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs
+      |WHERE sim >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    SimilaritySearch.cosinePairsExact(Tables.embeddings(s, d), 0.2)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Hyperplane-LSH bucket histogram: deterministic md5-derived integer
+    * hyperplanes ⇒ identical sign bits in both engines. This verifies
+    * the ANN index build; the probe path is covered by recall specs.
+    */
+  val lshBuckets: Q = Q(
+    "q44_lsh_buckets", {
+      def planeDot(h: Int): String =
+        (0 until 64).map { j =>
+          val w = SimilaritySearch.duckWeight(h, j)
+          s"CAST(embedding[${j + 1}] AS DOUBLE) * ($w)"
+        }.mkString("(", " + ", ")")
+      val bucket = (0 until 8).map(h =>
+        s"(CASE WHEN ${planeDot(h)} > 0 THEN ${1L << h} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""SELECT $bucket AS bucket, COUNT(*) AS n
+         |FROM embeddings
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+    SimilaritySearch.bucketize(Tables.embeddings(s, d))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[Q] = Seq(
+    minhashLsh, simhashFp, docFingerprint, multimodalMeta,
+    embeddingNearDup, lshBuckets)
+}

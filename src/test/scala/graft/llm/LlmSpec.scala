@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d).orderBy("keeper").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_docs") == 2 && out(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val out = Dedup.minhashLsh(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect()
+    val pairs = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    val jac = out.find(r => r.getAs[Long]("doc_a") == 1L).get.getAs[Double]("jaccard")
+    assert(jac > 0.8)
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 60).map(i => s"qqq$i").mkString(" ")
+    val fps = Dedup.simhash(docs((1L, base), (2L, near), (3L, far)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) <= 6)
+    assert(ham(fps(1L), fps(3L)) > 6)
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val fps = Dedup.fingerprints(docs((1L, "a b c"), (2L, "c b a"), (3L, "a b c")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("LSH ANN recall vs brute force on testdata embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.topK(emb, queries, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.topKLsh(emb, queries, 5, planes = 6, probeRadius = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // multi-probe examines (1 + 6 + 15)/64 ≈ 34% of the corpus; random
+    // gaussian embeddings are ANN-hostile, so expect moderate recall
+    assert(recall >= 0.3, s"multi-probe LSH recall unexpectedly low: $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs (no false sims)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = SimilaritySearch.cosinePairsExact(emb, 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilaritySearch.cosinePairsLsh(emb, 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("langId classifies marker-heavy text") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and the dog is in the house"),
+      (2L, "der Hund ist nicht mit der Katze und das ist gut"),
+      (3L, "xyzzy plugh qwerty asdf")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "unknown")
+  }
+
+  test("quality gate keeps normal prose, drops degenerate docs") {
+    val d = Seq(
+      (1L, "this is a perfectly normal sentence with reasonable words"),
+      (2L, "a b"),                                   // too short
+      (3L, "x.,;:!?.,;:!?.,;:!? y.,;:!?.,;:!?")).toDF("doc_id", "text")
+    val keep = TextAnalysis.qualityGate(d).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L))
+  }
+
+  test("tokenEstimate counts word runs, digits, punctuation") {
+    val d = Seq((1L, "hello world 42!")).toDF("doc_id", "text")
+    // hello, world, 4, 2, ! → 5
+    val n = d.select(TextAnalysis.tokenEstimate("text")).head().getLong(0)
+    assert(n == 5L)
+  }
+
+  test("multimodal featurize runs the batch pipeline deterministically") {
+    val media = Seq(
+      (1L, "image", "fakepngbytes".getBytes),
+      (2L, "audio", "fakewavbytes".getBytes),
+      (3L, "image", Array.emptyByteArray)).toDF("media_id", "modality", "content")
+    val out = Multimodal.featurize(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Long]("byte_len") == 12L)
+    assert(out(1L).getAs[String]("content_sha").length == 64)
+    assert(out(1L).getAs[Int]("width") > 0)
+    assert(out(3L).getAs[Int]("width") == 0)
+    assert(out(1L).getAs[scala.collection.Seq[Float]]("feat").length == 8)
+    // deterministic: same input → same features
+    val again = Multimodal.featurize(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[scala.collection.Seq[Float]]("feat").toList).toMap
+    assert(again(1L) == out(1L).getAs[scala.collection.Seq[Float]]("feat").toList)
+  }
+}
