@@ -35,29 +35,43 @@ object Dedup {
                  bands: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val rowsPerBand = numPerms / bands
+    // Materialized once: the shingle sets feed the signature build AND
+    // the candidate verification, and the band self-join would otherwise
+    // recompute the whole shingle+md5+signature pipeline per side. At
+    // production scale this is the persisted signature index.
     val withShingles = docs
       .select(col(idCol).as("doc_id"),
         TextShingles.wordShingles(col(textCol), shingleLen).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint(true)
+    // hashes live in their own projection so the 16 signature perms share
+    // one md5 pass (CollapseProject keeps non-cheap multi-referenced
+    // aliases separate — md5 runs once per shingle, not once per perm).
+    // The band join carries ONLY (band, key, id): shingle arrays never
+    // ride through the explode/join/dedup shuffles.
     val sigs = withShingles
-      .withColumn("sig", TextHash.minhash(col("shingles"), numPerms))
-      .select(col("doc_id"), col("shingles"),
+      .withColumn("hashes", TextHash.shingleHashes(col("shingles")))
+      .withColumn("sig", TextHash.minhashFromHashes(col("hashes"), numPerms))
+      .select(col("doc_id"),
         posexplode(TextHash.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))
+      .localCheckpoint(true) // tiny (numBands rows/doc); feeds a self-join
 
-    val a = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("band"), col("key"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("band"), col("key"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     val candidates = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
-    // exact Jaccard only on candidates
+    // exact Jaccard only on the (small) candidate set — re-join the
+    // shingle arrays just for verification
+    val candA = candidates
+      .join(withShingles.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(withShingles.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    candidates.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
+    candA.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
   }
 
   /** SimHash fingerprints: 32-bit per doc over whitespace tokens. Pairs

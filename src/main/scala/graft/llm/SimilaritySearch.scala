@@ -97,10 +97,15 @@ object SimilaritySearch {
     */
   def cosinePairsExact(corpus: DataFrame, threshold: Double,
                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    // norms are computed once per ROW before the join (the projections sit
+    // below the join, so the O(N²) pair loop does only the dot product —
+    // same float ops and order as cosine(), just cached)
+    val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      norm(col(embCol)).as("norm_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      norm(col(embCol)).as("norm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -110,11 +115,13 @@ object SimilaritySearch {
                      planes: Int = 8, dim: Int = 64,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bucketed = bucketize(corpus, planes, dim, embCol)
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      norm(col(embCol)).as("norm_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      norm(col(embCol)).as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

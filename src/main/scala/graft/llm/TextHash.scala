@@ -32,15 +32,26 @@ object TextHash {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature of a distinct-shingle array: for permutation i,
-    * min over shingles of (a_i * (md5(s) mod P) + b_i) mod P.
-    * Pure built-ins (transform + array_min) — codegen-friendly, no UDF.
+  /** Shingle array → md5-derived hash array (mod P), computed ONCE —
+    * the signature perms below reuse it, so md5 cost is O(|shingles|),
+    * not O(|shingles| × numPerms).
     */
-  def minhash(shingles: Column, numPerms: Int): Column =
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => md5Long(s) % P)
+
+  /** MinHash signature from pre-hashed shingles: for permutation i,
+    * min over hashes of (a_i * h + b_i) mod P.
+    * Pure built-ins (transform + array_min) — no UDF.
+    */
+  def minhashFromHashes(hashes: Column, numPerms: Int): Column =
     array((0 until numPerms).map { i =>
-      array_min(transform(shingles, s =>
-        (lit(aConst(i)) * (md5Long(s) % P) + lit(bConst(i))) % P))
+      array_min(transform(hashes, h =>
+        (lit(aConst(i)) * h + lit(bConst(i))) % P))
     }: _*)
+
+  /** MinHash signature of a distinct-shingle array (hash-once form). */
+  def minhash(shingles: Column, numPerms: Int): Column =
+    minhashFromHashes(shingleHashes(shingles), numPerms)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
     * each group rendered "v1_v2_..." — equal band key ⇒ LSH candidate.

@@ -21,13 +21,14 @@ import graft.Tables
   */
 object Embeddings {
 
-  /** dot(a,b) folded sequentially in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a,b) folded sequentially in double — a codegen'd Catalyst
+    * expression (graft.functions.FloatVecDot), numerically identical to
+    * the `aggregate(zip_with(...))` built-in form and to DuckDB's
+    * sequential list kernels.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.fdot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.fnorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -86,20 +86,27 @@ object EventsOps {
     * mode is meaningful — computed as groupBy+count+deterministic top-1
     * (count DESC, key ASC) in both engines, avoiding engine-specific
     * mode() tie-breaking.
+    *
+    * Scale shape: the lag window partitions by UTC day (day-boundary
+    * intervals are excluded by construction on BOTH sides) so no global
+    * single-partition sort exists anywhere in the plan — each day sorts
+    * independently, then the mode is a hash agg + global top-1.
     */
   val modeInterval: Q = Q(
     "q22_mode_interval",
     """WITH diffs AS (
-      |  SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (ORDER BY epoch_us(ts))) // 60000000 AS diff_min
+      |  SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |     PARTITION BY epoch_us(ts) // 86400000000 ORDER BY epoch_us(ts))) // 60000000 AS diff_min
       |  FROM events)
       |SELECT diff_min, COUNT(*) AS cnt FROM diffs
       |WHERE diff_min IS NOT NULL
       |GROUP BY diff_min
       |ORDER BY cnt DESC, diff_min
       |LIMIT 1""".stripMargin) { (s, d) =>
-    val w = Window.orderBy(col("ts_us"))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts_us"))
     Tables.events(s, d)
       .withColumn("ts_us", Tables.nsToUs("ts"))
+      .withColumn("day", expr("ts_us div 86400000000"))
       .select((col("ts_us") - lag(col("ts_us"), 1).over(w)).as("diff_us"))
       .filter(col("diff_us").isNotNull)
       .select(expr("diff_us div 60000000").as("diff_min"))

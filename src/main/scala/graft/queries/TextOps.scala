@@ -157,12 +157,21 @@ object TextOps {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.12
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // One pass over the shingle table: group by shingle collecting doc
+    // lists, emit all in-list ordered pairs, count per pair. Equivalent
+    // to the oracle's self-join but shuffles the exploded table ONCE
+    // instead of twice (the scale-relevant difference).
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextShingles.wordShingles(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val pairs = a.join(b, a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
+    val pairs = sh
+      .groupBy(col("shingle")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    d -> struct(element_at(ids, i) AS doc_a, d AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter") * lit(1.0) /
