@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val allQueries: Seq[Q] =
-    Relational.all ++ EventsOps.all ++ TextOps.all ++ Embeddings.all ++ LlmOps.all
+    Relational.all ++ EventsOps.all ++ TextOps.all ++ Embeddings.all ++
+      LlmOps.all ++ Extended.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.dec
+import graft.llm.{Dedup, SimilaritySearch, TextAnalysis}
+
+/** Second coverage tranche: session windows, grouping sets, math/array
+  * function suites, pagination, simhash pair search, quality gating,
+  * and the rows-only-checked ops whose semantics are guarded by specs
+  * (LID argmax, multi-probe ANN).
+  */
+object Extended {
+
+  /** GROUPING SETS beyond rollup/cube (A10): (status, priority) and
+    * (status) and () — explicit set list.
+    */
+  val groupingSets: Q = Q(
+    "q17_grouping_sets",
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |       COALESCE(o_orderpriority, '(all)') AS priority,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Math scalar suite (F14): abs/floor/ceil/round/sqrt/pow — all
+    * IEEE-exact or exact-on-doubles ops, aggregated per returnflag.
+    */
+  val mathSuite: Q = Q(
+    "q18_math_suite",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(abs(l_extendedprice - 30000.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_absdev,
+      |  CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+      |  CAST(SUM(CAST(ceil(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_ceil_disc,
+      |  CAST(SUM(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(18,8))) AS DOUBLE) AS sum_sqrt_qty,
+      |  CAST(SUM(CAST(pow(2.0, l_linenumber) AS BIGINT)) AS BIGINT) AS sum_pow2
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(abs(col("l_extendedprice") - 30000.0))).cast("double").as("sum_absdev"),
+        sum(floor(col("l_extendedprice")).cast("long")).cast("long").as("sum_floor"),
+        sum(ceil(col("l_discount") * 100).cast("long")).cast("long").as("sum_ceil_disc"),
+        sum(round(sqrt(col("l_quantity")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+          .cast("double").as("sum_sqrt_qty"),
+        sum(pow(lit(2.0), col("l_linenumber")).cast("long")).cast("long").as("sum_pow2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Stable pagination (S10/O2): ORDER BY unique key, OFFSET+LIMIT. */
+  val pagination: Q = Q(
+    "q19_pagination",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 100 OFFSET 1000""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .orderBy("o_orderkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .offset(1000).limit(100)
+  }
+
+  /** Event-time session windows (T7 [EXT]): per-user sessions with a
+    * 1-hour inactivity gap — Spark `session_window`; oracle is the
+    * classic gaps-and-islands rewrite. µs-canonical timestamps.
+    */
+  val sessionWindows: Q = Q(
+    "q28_session_window",
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      |flags AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 3600000000
+      |         OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM o),
+      |islands AS (
+      |  SELECT user_id, t, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id, CAST(MIN(t) AS BIGINT) AS session_start_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM islands
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("t", timestamp_micros(Tables.nsToUs("ts")))
+      .groupBy(col("user_id"), session_window(col("t"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** Array function suite over embeddings (F14): size, element_at,
+    * slice, array_contains, array_max/min.
+    */
+  val arrayOps: Q = Q(
+    "q29_array_ops",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+      |  ROUND(list_aggregate(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)), 'sum'), 6) AS head_sum,
+      |  list_contains(embedding, embedding[1]) AS has_first,
+      |  ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+      |  ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+      |FROM embeddings
+      |WHERE vec_id < 200
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+          (a, v) => a + v.cast("double")), 6).as("head_sum"),
+        array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_first"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_val"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_val"))
+      .orderBy("vec_id")
+  }
+
+  /** SimHash near-dup pair search (byte-band candidate join, exact for
+    * Hamming ≤ 3 by pigeonhole) — brute-force oracle over all pairs.
+    */
+  val simhashPairs: Q = Q(
+    "q45_simhash_pairs", {
+      val fp = graft.llm.TextHash.duckSimhash32("string_split(text, ' ')")
+      s"""WITH fp AS (SELECT doc_id, $fp AS simhash FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Quality gate (north star text filter): boolean keep decision per
+    * source — thresholds replicated exactly in the oracle.
+    */
+  val qualityGate: Q = Q(
+    "q46_quality_gate",
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    len(string_split_regex(text, '\s+')) AS n_tokens,
+      |    length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+      |      / greatest(len(string_split_regex(text, '\s+')), 1) AS mean_token_len,
+      |    (length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))) * 1.0
+      |      / greatest(length(text), 1) AS punct_ratio
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tokens >= 5 AND mean_token_len BETWEEN 2.0 AND 12.0
+      |                AND punct_ratio <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM f
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    TextAnalysis.qualityGate(Tables.documents(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_keep"))
+      .orderBy("source")
+  }
+
+  /** Language-ID distribution — rows-only check here (the 4-language
+    * argmax fold is spec-verified in LlmSpec); counts per predicted
+    * language over documents.
+    */
+  val langIdDist: Q = Q.rowsOnly("q47_lang_id_dist") { (s, d) =>
+    Tables.documents(s, d)
+      .select(TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("predicted").agg(count(lit(1)).as("n"))
+      .orderBy("predicted")
+  }
+
+  /** Multi-probe LSH ANN — rows-only check (recall-vs-exact is
+    * spec-verified); top-3 neighbors for 5 query vectors.
+    */
+  val annLsh: Q = Q.rowsOnly("q48_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    SimilaritySearch.topKLsh(emb, emb.filter(col("vec_id") < 5), 3,
+      planes = 6, probeRadius = 2)
+      .select("q_id", "n_id", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(
+    groupingSets, mathSuite, pagination, sessionWindows, arrayOps,
+    simhashPairs, qualityGate, langIdDist, annLsh)
+}
