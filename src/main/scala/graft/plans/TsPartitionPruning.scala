@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Catalyst optimizer rule (SURVEY §4 / §7.3): derive `year`/`month`
+  * partition predicates from `ts` range filters.
+  *
+  * The lake layout partitions by year/month but queries naturally filter
+  * on epoch-ms `ts`; without this rule a `ts BETWEEN a AND b` filter
+  * scans every month directory (exactly the reference's behavior — its
+  * docs claim date-dir pruning that the code never implements,
+  * `dl-datalake/src/dl_datalake/storage/reader.py:41-48`). The rule
+  * rewrites
+  *     Filter(ts >= L AND ts <= U, scan)
+  * to additionally constrain `(year*100 + month)` to the UTC month range
+  * of [L, U], which FileSourceStrategy classifies as a partition filter
+  * (it references only partition columns) ⇒ month directories outside
+  * the range are never listed or opened.
+  *
+  * Injected via [[GraftExtensions]]:
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * `Sessions.localWithExtensions`.
+  */
+object TsPartitionPruning extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val attrs = child.output.map(a => a.name.toLowerCase -> a).toMap
+      (attrs.get("ts"), attrs.get("year"), attrs.get("month")) match {
+        case (Some(ts), Some(year), Some(month))
+          if ts.dataType == LongType && year.dataType == IntegerType &&
+            month.dataType == IntegerType && !alreadyDerived(cond) =>
+          val conjuncts = splitConjuncts(cond)
+          val lo = conjuncts.collectFirst {
+            case GreaterThanOrEqual(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(ts) => v
+            case GreaterThan(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(ts) => v
+            case LessThanOrEqual(Literal(v: Long, LongType), a: Attribute) if a.semanticEquals(ts) => v
+          }
+          val hi = conjuncts.collectFirst {
+            case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(ts) => v
+            case LessThan(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(ts) => v
+            case GreaterThanOrEqual(Literal(v: Long, LongType), a: Attribute) if a.semanticEquals(ts) => v
+          }
+          if (lo.isEmpty && hi.isEmpty) f
+          else {
+            val key = Add(Multiply(Cast(year, LongType), Literal(100L)), Cast(month, LongType))
+            val derived = Seq(
+              lo.map(v => GreaterThanOrEqual(key, Literal(monthKey(v)))),
+              hi.map(v => LessThanOrEqual(key, Literal(monthKey(v))))
+            ).flatten.reduce[Expression](And)
+            Filter(And(cond, derived), child)
+          }
+        case _ => f
+      }
+  }
+
+  /** epoch-ms → yyyy*100+mm in UTC, clamped to [1970-01, 9999-12]. */
+  def monthKey(ms: Long): Long = {
+    val clamped = math.min(math.max(ms, 0L), 253402300799999L)
+    val ym = java.time.YearMonth.from(
+      java.time.Instant.ofEpochMilli(clamped).atZone(java.time.ZoneOffset.UTC))
+    ym.getYear.toLong * 100L + ym.getMonthValue
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Re-application guard: the derived conjunct's shape is
+    * `(year*100+month) >= k` / `<= k` — if any conjunct already compares
+    * a year-based Add/Multiply to a literal, skip.
+    */
+  private def alreadyDerived(cond: Expression): Boolean =
+    splitConjuncts(cond).exists {
+      case GreaterThanOrEqual(Add(Multiply(Cast(a: Attribute, LongType, _, _), Literal(100L, LongType), _), _, _), _) =>
+        a.name.equalsIgnoreCase("year")
+      case LessThanOrEqual(Add(Multiply(Cast(a: Attribute, LongType, _, _), Literal(100L, LongType), _), _, _), _) =>
+        a.name.equalsIgnoreCase("year")
+      case _ => false
+    }
+}
+
+/** `spark.sql.extensions` entry point registering graft's rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => TsPartitionPruning)
+}
