@@ -1,0 +1,58 @@
+package graft.storage
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake maintenance jobs (SURVEY §7.4 #5): the reference's
+  * `daily_offload_flow` is an empty placeholder
+  * (`dl-datalake/src/dl_datalake/orchestration/flows.py:127-130`) —
+  * this is that job done properly.
+  */
+final class LakeMaintenance(spark: SparkSession, root: String) {
+
+  private val partCols = Seq("exchange", "market", "symbol", "type", "period", "year", "month")
+
+  /** Compact a series' month partitions to one ts-sorted file each:
+    * read → repartition on the partition key → sortWithinPartitions(ts)
+    * → dynamic overwrite. Only directories with more than `maxFiles`
+    * files are rewritten (touch nothing that's already compact).
+    * Returns the number of (year, month) partitions rewritten.
+    */
+  def compactSeries(key: SeriesKey, maxFiles: Int = 1): Long = {
+    val k = key.sanitized
+    val seriesPred =
+      col("exchange") === k.exchange && col("market") === k.market &&
+        col("symbol") === k.symbol && col("type") === k.`type` &&
+        col("period") === k.period
+
+    val df = spark.read.parquet(root).filter(seriesPred)
+    // which (year, month) dirs have too many files?
+    val byPartition = df
+      .select(col("year"), col("month"), input_file_name().as("f"))
+      .groupBy("year", "month")
+      .agg(countDistinct(col("f")).as("nf"))
+      .filter(col("nf") > maxFiles)
+      .select("year", "month")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+
+    if (byPartition.isEmpty) return 0L
+
+    val monthPred = byPartition
+      .map { case (y, m) => col("year") === y && col("month") === m }
+      .reduce(_ || _)
+
+    // rewrite only the fragmented dirs (dynamic partition overwrite)
+    spark.read.parquet(root).filter(seriesPred && monthPred)
+      .localCheckpoint(true) // the write overwrites what this scan reads
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions("ts")
+      .coalesce(byPartition.length)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy(partCols: _*)
+      .parquet(root)
+
+    byPartition.length.toLong
+  }
+}
