@@ -17,6 +17,14 @@ trait Connector {
   def fetchOhlcv(symbol: String, timeframe: String, sinceMs: Long, limit: Int): Seq[Candle]
   /** Earliest available candle ts, if the venue exposes it. */
   def earliestTs(symbol: String, timeframe: String): Option[Long]
+  /** Funding-rate history page (perp venues) — `(ts, rate, infoJson)`,
+    * the reference's list-of-dicts shape
+    * (`exchange_connector.py:401-446`). Optional capability.
+    */
+  def fetchFundingRates(symbol: String, sinceMs: Long, limit: Int): Seq[(Long, Double, String)] =
+    throw new UnsupportedOperationException(s"$name does not serve funding rates")
+  /** Active tradable symbols (P11 active-market filter applied). */
+  def listSymbols(market: String): Seq[String] = Seq.empty
 }
 
 final case class DownloadReport(pages: Int, rows: Long, flushes: Int,
@@ -95,6 +103,45 @@ final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
     }
     flush()
     DownloadReport(pages, rows, flushes, retries, emptyJumps,
+      if (rows == 0) 0L else tFrom, if (rows == 0) 0L else tTo)
+  }
+
+  /** Funding-rate incremental download (S4/S8/alt data): rows
+    * `(ts, rate, info_json)` land under type=alt/period=funding with the
+    * same keep-last upsert and watermark resume as candles. The
+    * reference partitions funding daily as a Polars workaround
+    * (`exchange_connector.py:414-433`); here the uniform monthly layout
+    * applies — pruning comes from year/month + parquet ts stats.
+    */
+  def downloadFunding(conn: Connector, market: String, symbol: String,
+                      endMs: Long = System.currentTimeMillis()): DownloadReport = {
+    import spark.implicits._
+    val key = SeriesKey(conn.name, market, symbol, "alt", "funding")
+    var since = catalog.maxTimeTo(conn.name, symbol, "alt").map(_ + 1L).getOrElse(0L)
+    var rows = 0L; var pages = 0; var flushes = 0
+    var tFrom = Long.MaxValue; var tTo = Long.MinValue
+    var done = false
+    while (!done && since <= endMs) {
+      val page = conn.fetchFundingRates(symbol, since, pageSize)
+      if (page.isEmpty) done = true
+      else {
+        pages += 1
+        val batch = page.filter(_._1 <= endMs)
+        if (batch.nonEmpty) {
+          val rep = writer.writeOhlc(
+            batch.toDF("ts", "rate", "info_json"), key)
+          tFrom = math.min(tFrom, rep.timeFrom); tTo = math.max(tTo, rep.timeTo)
+          rows += batch.size; flushes += 1
+          val k = key.sanitized
+          catalog.addEntry(ManifestEntry(conn.name, market, symbol,
+            s"exchange=${k.exchange}/market=${k.market}/symbol=${k.symbol}/type=alt/period=funding",
+            "alt", rep.timeFrom, rep.timeTo, "1", "",
+            System.currentTimeMillis(), "", """{"timeframe": "funding"}"""))
+        }
+        if (page.last._1 >= endMs) done = true else since = page.last._1 + 1L
+      }
+    }
+    DownloadReport(pages, rows, flushes, 0, 0,
       if (rows == 0) 0L else tFrom, if (rows == 0) 0L else tTo)
   }
 

@@ -98,4 +98,28 @@ class IncrementalLoaderSpec extends SparkSpec {
     assert(rep.rows == 50)
     assert(reader.readRange("mockex", "S", "raw", 0, Long.MaxValue).count() == 50)
   }
+
+  test("funding-rate download lands under type=alt with watermark resume (S4/S8)") {
+    val rates = (0 until 120).map(i => (t0 + i * 28800000L, 0.0001 * (i % 7), s"""{"i": $i}"""))
+    val root = tmpDir("lake")
+    val cat = new graft.catalog.ManifestCatalog(spark, root)
+    val loader = new IncrementalLoader(spark, new LakeWriter(spark, root), cat,
+      pageSize = 50, sleeper = _ => ())
+    val conn = new Connector {
+      val name = "mockex"
+      def fetchOhlcv(s: String, tf: String, since: Long, limit: Int): Seq[graft.model.Candle] = Seq.empty
+      def earliestTs(s: String, tf: String): Option[Long] = None
+      override def fetchFundingRates(s: String, since: Long, limit: Int): Seq[(Long, Double, String)] =
+        rates.filter(_._1 >= since).take(limit)
+    }
+    val rep = loader.downloadFunding(conn, "perp", "BTCUSDT", endMs = rates.last._1)
+    assert(rep.rows == 120)
+    val df = new LakeReader(spark, root).readRange("mockex", "BTCUSDT", "alt", 0, Long.MaxValue)
+    assert(df.count() == 120)
+    assert(df.columns.contains("rate") && df.columns.contains("info_json"))
+    assert(cat.maxTimeTo("mockex", "BTCUSDT", "alt").contains(rates.last._1))
+    // resume: nothing new -> no rows added
+    val rep2 = loader.downloadFunding(conn, "perp", "BTCUSDT", endMs = rates.last._1)
+    assert(rep2.rows == 0)
+  }
 }
