@@ -81,12 +81,18 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame =
+    // token hashes in their own projection: md5 once per token, 32 bit
+    // votes over the precomputed longs (CollapseProject keeps non-cheap
+    // multi-referenced aliases separate)
     docs.select(col(idCol).as("doc_id"),
-      TextHash.simhash32(split(col(textCol), " ")).as("simhash"))
+        TextHash.tokenHashes(split(col(textCol), " ")).as("thashes"))
+      .select(col("doc_id"),
+        TextHash.simhash32FromHashes(col("thashes")).as("simhash"))
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = simhash(docs, idCol, textCol)
+    // tiny (id + 1 long) and feeds a self-join → materialize once
+    val fp = simhash(docs, idCol, textCol).localCheckpoint(true)
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 8) % 256): _*)).as(Seq("band", "key")))

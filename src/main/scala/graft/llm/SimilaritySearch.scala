@@ -31,10 +31,13 @@ object SimilaritySearch {
   /** The same weight, for generating the DuckDB oracle SQL. */
   def duckWeight(h: Int, j: Int): Int = weight(h, j)
 
-  /** Sum_j emb[j] * w(h, j) — sequential fold, same order both engines. */
+  /** Sum_j emb[j] * w(h, j) — the codegen'd fdot against a literal
+    * weight vector (integer weights are exactly representable as float,
+    * so this is bit-identical to the elementwise sum both engines run).
+    */
   def planeDot(emb: Column, h: Int, dim: Int): Column =
-    (0 until dim).map(j => element_at(emb, j + 1).cast("double") * lit(weight(h, j)))
-      .reduce(_ + _)
+    graft.functions.VectorFunctions.fdot(emb,
+      array((0 until dim).map(j => lit(weight(h, j).toFloat)): _*))
 
   /** LSH bucket id: sign bits of `planes` hyperplane dots. */
   def bucketId(emb: Column, planes: Int, dim: Int): Column =

@@ -62,18 +62,28 @@ object TextHash {
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
-  /** 32-bit SimHash of a token array: bit j is set iff the sum over
-    * tokens of ±1 votes (sign of bit j of md5Int(token)) is positive.
+  /** Token array → md5-derived 32-bit hash array (compute ONCE — the 32
+    * bit votes below reuse it, so md5 cost is O(|tokens|), not
+    * O(32·|tokens|)).
     */
-  def simhash32(tokens: Column): Column = {
+  def tokenHashes(tokens: Column): Column = transform(tokens, t => md5Int(t))
+
+  /** 32-bit SimHash from pre-hashed tokens: bit j is set iff the sum
+    * over tokens of ±1 votes (sign of bit j) is positive.
+    */
+  def simhash32FromHashes(hashes: Column): Column = {
     val votes = (0 until 32).map { j =>
-      // vote_j = sum over tokens of (2*bit_j - 1)
-      aggregate(tokens, lit(0L), (acc, t) =>
-        acc + (shiftright(md5Int(t), j) % 2) * 2 - 1)
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + (shiftright(h, j) % 2) * 2 - 1)
     }
     (0 until 32).map(j => when(votes(j) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
   }
+
+  /** 32-bit SimHash of a token array (hash-once form — callers that can
+    * should project [[tokenHashes]] separately, see Dedup.simhash).
+    */
+  def simhash32(tokens: Column): Column = simhash32FromHashes(tokenHashes(tokens))
 
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
