@@ -35,27 +35,26 @@ object Dedup {
                  bands: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val rowsPerBand = numPerms / bands
-    // Materialized once: the shingle sets feed the signature build AND
-    // the candidate verification, and the band self-join would otherwise
-    // recompute the whole shingle+md5+signature pipeline per side. At
-    // production scale this is the persisted signature index.
-    val withShingles = docs
+    // The persisted index is the distinct 60-bit shingle-HASH set per doc
+    // (array<long>, ~8 B/shingle) — shingle strings are never retained or
+    // shuffled. It feeds the signature build AND candidate verification
+    // (Jaccard over hash sets == Jaccard over string sets under the same
+    // hash on both engines), and the band self-join + verify joins reuse
+    // this one materialization instead of recomputing shingling+md5.
+    val hashSets = docs
       .select(col(idCol).as("doc_id"),
         TextShingles.wordShingles(col(textCol), shingleLen).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        array_distinct(TextHash.shingleHashes(col("shingles"))).as("hs"))
       .localCheckpoint(true)
-    // hashes live in their own projection so the 16 signature perms share
-    // one md5 pass (CollapseProject keeps non-cheap multi-referenced
-    // aliases separate — md5 runs once per shingle, not once per perm).
-    // The band join carries ONLY (band, key, id): shingle arrays never
-    // ride through the explode/join/dedup shuffles.
-    val sigs = withShingles
-      .withColumn("hashes", TextHash.shingleHashes(col("shingles")))
-      .withColumn("sig", TextHash.minhashFromHashes(col("hashes"), numPerms))
+
+    // Band rows carry ONLY (band, key, id).
+    val sigs = hashSets
+      .withColumn("sig", TextHash.minhashFromHashes(col("hs"), numPerms))
       .select(col("doc_id"),
         posexplode(TextHash.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))
-      .localCheckpoint(true) // tiny (numBands rows/doc); feeds a self-join
 
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("key"))
@@ -64,13 +63,12 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
-    // exact Jaccard only on the (small) candidate set — re-join the
-    // shingle arrays just for verification
+    // exact Jaccard (over hash sets) only on the small candidate set
     val candA = candidates
-      .join(withShingles.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(withShingles.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      .join(hashSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(hashSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val uni = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
     candA.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
   }
 

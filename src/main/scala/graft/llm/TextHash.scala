@@ -110,6 +110,14 @@ object TextHash {
       s"list_min(list_transform($shinglesExpr, s -> (${aConst(i)} * (${duckMd5Long("s")} % $P) + ${bConst(i)}) % $P))"
     }.mkString(", ") + "]"
 
+  /** DuckDB: minhash signature from a pre-hashed BIGINT list, same perms
+    * as [[minhashFromHashes]].
+    */
+  def duckMinhashFromHashes(hashesExpr: String, numPerms: Int): String =
+    "[" + (0 until numPerms).map { i =>
+      s"list_min(list_transform($hashesExpr, h -> (${aConst(i)} * h + ${bConst(i)}) % $P))"
+    }.mkString(", ") + "]"
+
   /** DuckDB: band keys for a signature list column named `sigCol`. */
   def duckBandKeys(sigCol: String, bands: Int, rowsPerBand: Int): String =
     "[" + (0 until bands).map { b =>

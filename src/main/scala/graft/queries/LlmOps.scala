@@ -25,12 +25,14 @@ object LlmOps {
   val minhashLsh: Q = Q(
     "q36_minhash_lsh",
     s"""WITH sh AS (
-       |  SELECT doc_id, $shingleSql AS shingles FROM documents
+       |  SELECT doc_id, list_distinct(list_transform($shingleSql,
+       |    s -> ${TextHash.duckMd5Long("s")} % ${TextHash.P})) AS hs
+       |  FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
        |sig AS (
-       |  SELECT doc_id, shingles, ${TextHash.duckMinhash("shingles", 16)} AS sig FROM sh),
+       |  SELECT doc_id, hs, ${TextHash.duckMinhashFromHashes("hs", 16)} AS sig FROM sh),
        |banded AS (
-       |  SELECT doc_id, shingles, UNNEST(${TextHash.duckBandKeys("sig", 8, 2)}) AS key,
+       |  SELECT doc_id, UNNEST(${TextHash.duckBandKeys("sig", 8, 2)}) AS key,
        |         UNNEST(generate_series(0, 7)) AS band
        |  FROM sig),
        |cand AS (
@@ -39,8 +41,8 @@ object LlmOps {
        |    AND a.doc_id < b.doc_id),
        |verified AS (
        |  SELECT doc_a, doc_b,
-       |    len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-       |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       |    len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+       |      len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
        |FROM verified

@@ -139,30 +139,35 @@ object TextOps {
     * LSH pipeline (graft.llm.MinHashDedup) approximates.
     */
   val jaccardPairs: Q = Q(
-    "q35_jaccard_pairs",
-    """WITH sh AS (
-      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
-      |  FROM documents),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY doc_a, doc_b)
-      |SELECT doc_a, doc_b,
-      |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-      |FROM pairs
-      |JOIN sizes sa ON doc_a = sa.doc_id
-      |JOIN sizes sb ON doc_b = sb.doc_id
-      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.12
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // One pass over the shingle table: group by shingle collecting doc
-    // lists, emit all in-list ordered pairs, count per pair. Equivalent
-    // to the oracle's self-join but shuffles the exploded table ONCE
-    // instead of twice (the scale-relevant difference).
+    "q35_jaccard_pairs", {
+      import graft.llm.TextHash
+      s"""WITH sh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+         |    generate_series(1, len(string_split(text,' ')) - 2),
+         |    i -> ${TextHash.duckMd5Long("string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]")} % ${TextHash.P}))) AS shingle
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.12
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    // One pass over the shingle-HASH table (8-byte shuffle keys, not
+    // ~25-byte strings — both engines hash identically so results are
+    // equal): group by hash collecting doc lists, emit all in-list
+    // ordered pairs, count per pair. Shuffles the exploded table ONCE
+    // instead of a two-sided self-join (the scale-relevant difference).
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextShingles.wordShingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.llm.TextHash.shingleHashes(
+          TextShingles.wordShingles(col("text"), 3)))).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh
       .groupBy(col("shingle")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
