@@ -49,12 +49,14 @@ object Dedup {
         array_distinct(TextHash.shingleHashes(col("shingles"))).as("hs"))
       .localCheckpoint(true)
 
-    // Band rows carry ONLY (band, key, id).
+    // Band rows carry ONLY (band, key, id); materialized so the self-
+    // join below doesn't run the 16-perm signature build once per side.
     val sigs = hashSets
       .withColumn("sig", TextHash.minhashFromHashes(col("hs"), numPerms))
       .select(col("doc_id"),
         posexplode(TextHash.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))
+      .localCheckpoint(true)
 
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("key"))

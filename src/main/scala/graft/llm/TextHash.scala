@@ -32,26 +32,27 @@ object TextHash {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Shingle array → md5-derived hash array (mod P), computed ONCE —
-    * the signature perms below reuse it, so md5 cost is O(|shingles|),
-    * not O(|shingles| × numPerms).
+  /** Shingle array → full 60-bit md5 hash array, computed ONCE — the
+    * signature perms below reuse it, so md5 cost is O(|shingles|), not
+    * O(|shingles| × numPerms). The 60-bit value is ALSO the set element
+    * for exact-Jaccard verification, so it must NOT be reduced mod P
+    * here (a 2^30 universe would make corpus-wide hash-join candidate
+    * generation collision-prone; 2^60 keeps expected collisions ≈ 0
+    * even at 10^8 distinct shingles). P-reduction happens only inside
+    * the minhash affine step, which needs products to fit 63 bits.
     */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => md5Long(s) % P)
+    transform(shingles, s => md5Long(s))
 
-  /** MinHash signature from pre-hashed shingles: for permutation i,
-    * min over hashes of (a_i * h + b_i) mod P.
+  /** MinHash signature from pre-hashed (60-bit) shingles: for
+    * permutation i, min over hashes of (a_i * (h mod P) + b_i) mod P.
     * Pure built-ins (transform + array_min) — no UDF.
     */
   def minhashFromHashes(hashes: Column, numPerms: Int): Column =
     array((0 until numPerms).map { i =>
       array_min(transform(hashes, h =>
-        (lit(aConst(i)) * h + lit(bConst(i))) % P))
+        (lit(aConst(i)) * (h % P) + lit(bConst(i))) % P))
     }: _*)
-
-  /** MinHash signature of a distinct-shingle array (hash-once form). */
-  def minhash(shingles: Column, numPerms: Int): Column =
-    minhashFromHashes(shingleHashes(shingles), numPerms)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
     * each group rendered "v1_v2_..." — equal band key ⇒ LSH candidate.
@@ -104,18 +105,27 @@ object TextHash {
   def duckMd5Int(e: String): String =
     s"('0x' || substr(md5($e),1,8))::BIGINT"
 
-  /** DuckDB: minhash signature as a LIST, same perms as [[minhash]]. */
-  def duckMinhash(shinglesExpr: String, numPerms: Int): String =
-    "[" + (0 until numPerms).map { i =>
-      s"list_min(list_transform($shinglesExpr, s -> (${aConst(i)} * (${duckMd5Long("s")} % $P) + ${bConst(i)}) % $P))"
-    }.mkString(", ") + "]"
+  /** DuckDB: word n-gram shingle list of `text` (same tokenization as
+    * TextShingles.wordShingles) — the ONE copy every oracle shares.
+    */
+  def duckShingles(n: Int, textExpr: String = "text"): String = {
+    val toks = s"string_split($textExpr,' ')"
+    val gram = (0 until n).map(k => s"$toks[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), i -> $gram))"
+  }
 
-  /** DuckDB: minhash signature from a pre-hashed BIGINT list, same perms
-    * as [[minhashFromHashes]].
+  /** DuckDB: distinct 60-bit shingle-hash list — parity with
+    * `array_distinct(shingleHashes(wordShingles(text, n)))`.
+    */
+  def duckShingleHashes(n: Int, textExpr: String = "text"): String =
+    s"list_distinct(list_transform(${duckShingles(n, textExpr)}, s -> ${duckMd5Long("s")}))"
+
+  /** DuckDB: minhash signature from a pre-hashed 60-bit BIGINT list,
+    * same perms and P-reduction as [[minhashFromHashes]].
     */
   def duckMinhashFromHashes(hashesExpr: String, numPerms: Int): String =
     "[" + (0 until numPerms).map { i =>
-      s"list_min(list_transform($hashesExpr, h -> (${aConst(i)} * h + ${bConst(i)}) % $P))"
+      s"list_min(list_transform($hashesExpr, h -> (${aConst(i)} * (h % $P) + ${bConst(i)}) % $P))"
     }.mkString(", ") + "]"
 
   /** DuckDB: band keys for a signature list column named `sigCol`. */

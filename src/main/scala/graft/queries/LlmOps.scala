@@ -13,11 +13,6 @@ import graft.llm.{Dedup, SimilaritySearch, TextHash}
   */
 object LlmOps {
 
-  private val shingleSql =
-    """list_distinct(list_transform(
-      |    generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin
-
   /** MinHash-LSH candidate pairs with exact-Jaccard verification
     * (16 perms, 8 bands × 2 rows). The oracle replays the identical
     * signature arithmetic in DuckDB.
@@ -25,8 +20,7 @@ object LlmOps {
   val minhashLsh: Q = Q(
     "q36_minhash_lsh",
     s"""WITH sh AS (
-       |  SELECT doc_id, list_distinct(list_transform($shingleSql,
-       |    s -> ${TextHash.duckMd5Long("s")} % ${TextHash.P})) AS hs
+       |  SELECT doc_id, ${TextHash.duckShingleHashes(3)} AS hs
        |  FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
        |sig AS (

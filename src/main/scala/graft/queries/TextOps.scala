@@ -115,10 +115,8 @@ object TextOps {
     */
   val shingleStats: Q = Q(
     "q34_shingle_stats",
-    """WITH sh AS (
-      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+    s"""WITH sh AS (
+      |  SELECT doc_id, UNNEST(${graft.llm.TextHash.duckShingles(3)}) AS shingle
       |  FROM documents)
       |SELECT shingle, COUNT(*) AS df
       |FROM sh
@@ -142,9 +140,7 @@ object TextOps {
     "q35_jaccard_pairs", {
       import graft.llm.TextHash
       s"""WITH sh AS (
-         |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-         |    generate_series(1, len(string_split(text,' ')) - 2),
-         |    i -> ${TextHash.duckMd5Long("string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]")} % ${TextHash.P}))) AS shingle
+         |  SELECT doc_id, UNNEST(${TextHash.duckShingleHashes(3)}) AS shingle
          |  FROM documents),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
