@@ -201,7 +201,19 @@ object Extended {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF ANN — rows-only check (recall-vs-exact is spec-verified in
+    * IvfSpec); k=8 coarse clusters, 3 probes, top-3 for 5 queries.
+    */
+  val annIvf: Q = Q.rowsOnly("q49_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = graft.llm.IvfSearch.trainCentroids(emb, k = 8, iters = 1)
+    val index = graft.llm.IvfSearch.buildIndex(emb, centroids)
+    graft.llm.IvfSearch.topK(index, centroids, emb.filter(col("vec_id") < 5), 3, nProbe = 3)
+      .select("q_id", "n_id", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     groupingSets, mathSuite, pagination, sessionWindows, arrayOps,
-    simhashPairs, qualityGate, langIdDist, annLsh)
+    simhashPairs, qualityGate, langIdDist, annLsh, annIvf)
 }
