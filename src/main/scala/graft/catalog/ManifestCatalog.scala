@@ -31,6 +31,12 @@ import java.nio.file.{Files, Paths}
   * rows, a few hundred MB) — a single-node commit path with distributed
   * reads is the right trade; swap in Delta/Iceberg later behind this API.
   */
+object ManifestCatalog {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[catalog] def monitorFor(path: String): Object =
+    monitors.computeIfAbsent(path, _ => new Object)
+}
+
 final class ManifestCatalog(spark: SparkSession, root: String) {
   import spark.implicits._
 
@@ -41,12 +47,18 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
 
   Files.createDirectories(Paths.get(logDir))
 
-  private def withLock[T](f: => T): T = {
-    val raf = new RandomAccessFile(lockFile, "rw")
-    var lock: FileLock = null
-    try { lock = raf.getChannel.lock(); f }
-    finally { if (lock != null) lock.release(); raf.close() }
-  }
+  /** Commit serialization is two-level: a JVM monitor per lock path
+    * (FileLock throws OverlappingFileLockException for same-process
+    * contention — it only serializes ACROSS processes), then the
+    * advisory FileLock for other driver processes sharing the lake.
+    */
+  private def withLock[T](f: => T): T =
+    ManifestCatalog.monitorFor(lockFile).synchronized {
+      val raf = new RandomAccessFile(lockFile, "rw")
+      var lock: FileLock = null
+      try { lock = raf.getChannel.lock(); f }
+      finally { if (lock != null) lock.release(); raf.close() }
+    }
 
   private def nextSeq(): Long = {
     val cur = if (Files.exists(seqFile)) new String(Files.readAllBytes(seqFile)).trim.toLong else 0L

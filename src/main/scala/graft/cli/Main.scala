@@ -77,7 +77,13 @@ object Main {
       case "delete" =>
         val Array(ex, sym) = rest.take(2)
         val n = catalog.deleteEntries(exchange = Some(ex), symbol = Some(sym))
-        println(s"tombstoned $n catalog entries for $ex/$sym")
+        val maint = new graft.storage.LakeMaintenance(spark, root)
+        val removed = Seq("raw" -> "1m", "agg" -> "15min", "ticks" -> "tick")
+          .count { case (t, p) =>
+            maint.deleteSeries(SeriesKey(ex, "spot", sym, t, p)) ||
+              maint.deleteSeries(SeriesKey(ex, "agg", sym, t, p))
+          }
+        println(s"tombstoned $n catalog entries, removed $removed series dirs for $ex/$sym")
 
       case "upload-feature" =>
         val Array(file, set, version) = rest.take(3)

@@ -55,4 +55,18 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
 
     byPartition.length.toLong
   }
+
+  /** Physically delete a series' data directory (the reference's
+    * `delete` removes files AND manifest rows, `cli.py:83-135`) —
+    * callers tombstone the catalog separately. Returns true if the
+    * directory existed.
+    */
+  def deleteSeries(key: SeriesKey): Boolean = {
+    val k = key.sanitized
+    val dir = s"$root/exchange=${k.exchange}/market=${k.market}/symbol=${k.symbol}" +
+      s"/type=${k.`type`}/period=${k.period}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
 }

@@ -65,4 +65,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(reg.get("j2").get.state == JobStatus.Failed("boom"))
     assert(reg.all().size == 5)
   }
+
+  test("concurrent writers to different symbols both land (test_06 analog)") {
+    val root = tmpDir("lake")
+    val cat = new graft.catalog.ManifestCatalog(spark, root)
+    val writer = new LakeWriter(spark, root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("AAA", "BBB", "CCC").map { sym =>
+      new Thread(() => {
+        try {
+          val rep = writer.writeOhlc(candleDf(genCandles(40, seed = sym.hashCode)),
+            SeriesKey("EX", "SPOT", sym, "raw", "1m"))
+          cat.addEntry(graft.model.ManifestEntry("EX", "SPOT", sym, s"p-$sym", "raw",
+            rep.timeFrom, rep.timeTo, "1", "", 1L, "", "{}"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent write failed: ${Option(errs.peek()).map(_.getMessage)}")
+    val df = spark.read.parquet(root)
+    assert(df.count() == 120)
+    assert(df.select("symbol").distinct().count() == 3)
+    assert(cat.listEntries().count() == 3)
+  }
+
+  test("deleteSeries removes the physical directory") {
+    val root = tmpDir("lake")
+    val writer = new LakeWriter(spark, root)
+    val key = SeriesKey("EX", "SPOT", "DOOMED", "raw", "1m")
+    writer.writeOhlc(candleDf(genCandles(10)), key)
+    writer.writeOhlc(candleDf(genCandles(10)), SeriesKey("EX", "SPOT", "KEEP", "raw", "1m"))
+    val maint = new LakeMaintenance(spark, root)
+    assert(maint.deleteSeries(key))
+    assert(!maint.deleteSeries(key)) // already gone
+    val left = spark.read.parquet(root)
+    assert(left.select("symbol").distinct().collect().map(_.getString(0)).toSeq == Seq("KEEP"))
+  }
+
+  test("approx_count_distinct is within HLL error of exact (A10)") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val r = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx"),
+      approx_count_distinct(col("user_id"), 0.01).as("approx_tight")).head()
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
+    assert(math.abs(r.getLong(2) - exact) / exact <= 0.02)
+  }
 }
