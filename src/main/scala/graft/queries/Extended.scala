@@ -213,7 +213,35 @@ object Extended {
       .orderBy("q_id", "rnk")
   }
 
+  /** Map/JSON function suite (F14/F10): props parsed to a map —
+    * map_keys/size/element_at — aggregated per event_type.
+    */
+  val mapOps: Q = Q(
+    "q50_map_ops",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+      |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    Tables.events(s, d)
+      .withColumn("m", m)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(size(map_keys(col("m")))).cast("long").as("total_keys"),
+        sum(when(element_at(col("m"), "k").isNotNull, 1).otherwise(0)).cast("long").as("n_with_k"),
+        min(element_at(col("m"), "k").cast("long")).as("min_k"),
+        max(element_at(col("m"), "k").cast("long")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     groupingSets, mathSuite, pagination, sessionWindows, arrayOps,
-    simhashPairs, qualityGate, langIdDist, annLsh, annIvf)
+    simhashPairs, qualityGate, langIdDist, annLsh, annIvf, mapOps)
 }
