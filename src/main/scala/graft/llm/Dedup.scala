@@ -43,10 +43,8 @@ object Dedup {
     // this one materialization instead of recomputing shingling+md5.
     val hashSets = docs
       .select(col(idCol).as("doc_id"),
-        TextShingles.wordShingles(col(textCol), shingleLen).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        array_distinct(TextHash.shingleHashes(col("shingles"))).as("hs"))
+        graft.functions.ShingleHash64(col(textCol), shingleLen).as("hs"))
+      .filter(size(col("hs")) > 0)
       .localCheckpoint(true)
 
     // Band rows carry ONLY (band, key, id); materialized so the self-
@@ -81,13 +79,9 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame =
-    // token hashes in their own projection: md5 once per token, 32 bit
-    // votes over the precomputed longs (CollapseProject keeps non-cheap
-    // multi-referenced aliases separate)
+    // one fused pass: tokenize + md5 + 32 bit-votes per row
     docs.select(col(idCol).as("doc_id"),
-        TextHash.tokenHashes(split(col(textCol), " ")).as("thashes"))
-      .select(col("doc_id"),
-        TextHash.simhash32FromHashes(col("thashes")).as("simhash"))
+      graft.functions.SimHash32Expr(col(textCol)).as("simhash"))
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

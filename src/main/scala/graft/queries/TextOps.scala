@@ -124,7 +124,7 @@ object TextOps {
       |HAVING COUNT(*) >= 5
       |ORDER BY shingle""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextShingles.wordShingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), explode(graft.functions.ShingleStrings(col("text"), 3)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 5)
@@ -162,8 +162,7 @@ object TextOps {
     // instead of a two-sided self-join (the scale-relevant difference).
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(graft.llm.TextHash.shingleHashes(
-          TextShingles.wordShingles(col("text"), 3)))).as("shingle"))
+        explode(graft.functions.ShingleHash64(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh
       .groupBy(col("shingle")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
