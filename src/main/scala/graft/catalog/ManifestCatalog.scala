@@ -139,11 +139,18 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
     filtered(snapshot(), exchange, market, symbol, `type`)
       .orderBy(col("created_at").desc, col("path"))
 
-  /** Resume watermark: max(time_to) over matching entries (SURVEY A4/T1). */
+  /** Resume watermark: max(time_to) over matching entries (SURVEY A4/T1).
+    * `timeframe` scopes the watermark to one series' metadata_json
+    * timeframe — without it, a symbol's 1m and 1h (or spot and futures)
+    * series would share one watermark and silently skip history.
+    */
   def maxTimeTo(exchange: String, symbol: String, `type`: String,
-                market: Option[String] = None): Option[Long] = {
-    val r = filtered(snapshot(), Some(exchange), market, Some(symbol), Some(`type`))
-      .agg(max(col("time_to"))).head()
+                market: Option[String] = None,
+                timeframe: Option[String] = None): Option[Long] = {
+    var df = filtered(snapshot(), Some(exchange), market, Some(symbol), Some(`type`))
+    timeframe.foreach(tf => df = df.filter(
+      get_json_object(col("metadata_json"), "$.timeframe") === tf))
+    val r = df.agg(max(col("time_to"))).head()
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
@@ -163,20 +170,24 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
 
   /** Rewrite the log as one compacted base segment (small-file control —
     * the reference's aspirational `daily_offload_flow` done for real).
+    *
+    * Crash-safe by construction: the snapshot is APPENDED as new rows
+    * carrying a fresh max `_seq` (keep-last-by-path semantics make them
+    * win over — and equal — every older row), and only then are the
+    * pre-existing log files deleted. A crash at any point leaves a log
+    * whose snapshot() is unchanged; re-running compact() converges.
     */
   def compact(): Unit = withLock {
-    val snap = snapshot()
-      .withColumn("_seq", lit(0L))
-      .withColumn("_deleted", lit(false))
-      .cache()
-    snap.count() // materialize before we clobber the source files
-    val tmp = s"$dir/log_compact_tmp"
-    snap.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    snap.unpersist()
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(logDir), spark.sparkContext.hadoopConfiguration)
     val logPath = new org.apache.hadoop.fs.Path(logDir)
-    fs.delete(logPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), logPath)
+    val oldFiles = fs.listStatus(logPath).map(_.getPath)
+    val seq = nextSeq()
+    snapshot()
+      .withColumn("_seq", lit(seq))
+      .withColumn("_deleted", lit(false))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(logDir)
+    oldFiles.foreach(p => fs.delete(p, false))
   }
 }

@@ -55,8 +55,11 @@ final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
     val tfMs = Timeframes.toMillis(timeframe)
     val key = SeriesKey(conn.name, market, symbol, "raw", Timeframes.canonical(timeframe))
 
-    // T1 watermark resolution: catalog max(time_to)+1 → user start → probe
-    var since = catalog.maxTimeTo(conn.name, symbol, "raw").map(_ + 1L)
+    // T1 watermark resolution: catalog max(time_to)+1 → user start → probe.
+    // Scoped to (market, timeframe) — other series of the same symbol
+    // must not shadow this one's resume point.
+    var since = catalog.maxTimeTo(conn.name, symbol, "raw",
+        market = Some(market), timeframe = Some(timeframe)).map(_ + 1L)
       .orElse(startMs)
       .orElse(conn.earliestTs(symbol, timeframe))
       .getOrElse(0L)
@@ -91,7 +94,11 @@ final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
         pages += 1
         emptyJumps = 0
         buf ++= page.filter(_.ts <= endMs)
-        since = page.last.ts + tfMs
+        // advance by +1, not +timeframe: off-grid candles (DST-shifted
+        // bars, partial maintenance-window bars) must not be skipped —
+        // the reference does the same (exchange_connector.py:262-269);
+        // progress is guaranteed because fetch filters ts >= since
+        since = page.last.ts + 1L
         if (buf.size >= flushRows) flush()
         if (page.size < pageSize && since > endMs) done = true
       } else if (retries == 0) {
@@ -117,7 +124,8 @@ final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
                       endMs: Long = System.currentTimeMillis()): DownloadReport = {
     import spark.implicits._
     val key = SeriesKey(conn.name, market, symbol, "alt", "funding")
-    var since = catalog.maxTimeTo(conn.name, symbol, "alt").map(_ + 1L).getOrElse(0L)
+    var since = catalog.maxTimeTo(conn.name, symbol, "alt",
+      market = Some(market), timeframe = Some("funding")).map(_ + 1L).getOrElse(0L)
     var rows = 0L; var pages = 0; var flushes = 0
     var tFrom = Long.MaxValue; var tTo = Long.MinValue
     var done = false

@@ -12,17 +12,25 @@ import java.security.MessageDigest
   */
 final class CsvIngest(spark: SparkSession, writer: LakeWriter, catalog: ManifestCatalog) {
 
-  /** Header fallback exactly as the reference (`pipeline.py:52-65`): if the
-    * header row yields no `ts` column and exactly 6 columns, treat the file
-    * as headerless canonical OHLCV; otherwise a `ts` column is required.
+  /** Header fallback as the reference (`pipeline.py:52-65`): no `ts`
+    * column + exactly 6 columns ⇒ canonical OHLCV names. Two sub-cases
+    * the reference conflates (its header row is always consumed as a
+    * header): a MISNAMED header ("timestamp,open,…") is renamed
+    * positionally, keeping every data row; a truly HEADERLESS file
+    * (first row parses as numbers) is re-read headerless so the first
+    * row is data, not a swallowed pseudo-header.
     */
   def readCsv(path: String): DataFrame = {
     val headered = spark.read
       .option("header", "true").option("inferSchema", "true").csv(path)
     if (headered.columns.contains("ts")) headered
-    else if (headered.columns.length == 6)
-      spark.read.schema(Schemas.candle).option("header", "false").csv(path)
-    else throw new IllegalArgumentException(
+    else if (headered.columns.length == 6) {
+      val headerless =
+        headered.columns.forall(c => scala.util.Try(c.trim.toDouble).isSuccess)
+      if (headerless)
+        spark.read.schema(Schemas.candle).option("header", "false").csv(path)
+      else headered.toDF(Schemas.candleColumns: _*)
+    } else throw new IllegalArgumentException(
       s"CSV at $path has no 'ts' column and is not 6-column OHLCV")
   }
 

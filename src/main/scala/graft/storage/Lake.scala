@@ -45,7 +45,8 @@ final class LakeWriter(spark: SparkSession, root: String) {
   private def withPartitionCols(df: DataFrame, key: SeriesKey): DataFrame = {
     val k = key.sanitized
     val t = timestamp_millis(col("ts"))
-    df.withColumn("exchange", lit(k.exchange))
+    df.withColumn("ts", col("ts").cast("long")) // epoch-ms contract (§1.2)
+      .withColumn("exchange", lit(k.exchange))
       .withColumn("market", lit(k.market))
       .withColumn("symbol", lit(k.symbol))
       .withColumn("type", lit(k.`type`))
@@ -88,7 +89,12 @@ final class LakeWriter(spark: SparkSession, root: String) {
 
     val keyCols = Seq(col("exchange"), col("market"), col("symbol"),
       col("type"), col("period"), col("ts"))
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("_batch").desc)
+    // "last" = highest batch; ties WITHIN a batch (same ts twice in one
+    // ingest) break on row-content hash — arbitrary but deterministic
+    // under any shuffling/rerun (a shuffled row_number tie is not)
+    val dataCols = unioned.columns.filterNot(c => c == "_batch").map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_batch").desc, xxhash64(dataCols: _*).desc)
     val merged = unioned
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -96,9 +102,15 @@ final class LakeWriter(spark: SparkSession, root: String) {
 
     merged
       .repartition(partCols.map(col): _*)
-      .sortWithinPartitions("ts")
+      // partition cols lead the sort so FileFormatWriter's required
+      // ordering is already satisfied — otherwise it inserts its own
+      // sort on partCols only and the ts order inside files is lost
+      .sortWithinPartitions(partCols.map(col) :+ col("ts"): _*)
       .write
-      .mode(SaveMode.Overwrite) // dynamic partitionOverwriteMode: only touched dirs
+      .mode(SaveMode.Overwrite)
+      // per-write, not session-level: with the default (static) mode,
+      // Overwrite+partitionBy would wipe the entire lake root
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .partitionBy(partCols: _*)
       .parquet(root)
@@ -122,21 +134,34 @@ final class LakeWriter(spark: SparkSession, root: String) {
       Some(df.drop(partCols: _*))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
-  /** Post-write verify (`writer.py:108-132`): reread count, ts bounds,
-    * global monotonicity (strict, per series).
+  /** Post-write verify (`writer.py:108-132`): series bounds + count via
+    * one plain aggregation (no window, no global sort), plus strict
+    * monotonicity = within-month ordering checked ONLY on the months
+    * this write touched (each month sorts independently — O(touched),
+    * not O(table)) + global ts uniqueness (count == distinct count;
+    * unique ts + per-month order ⇒ strictly increasing read order).
     */
-  private def verifySeries(k: SeriesKey, touched: Set[(Int, Int)]): WriteReport = {
-    val df = readSeries(k).get
-    val w = Window.partitionBy(lit(1)).orderBy(col("ts"))
-    val stats = df
-      .select(col("ts"))
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .agg(count(lit(1)).as("n"), min("ts").as("from"), max("ts").as("to"),
-        count(when(col("ts") <= col("prev"), 1)).as("nonmono"))
-      .head()
-    WriteReport(stats.getLong(0), stats.getLong(1), stats.getLong(2),
-      stats.getLong(3) == 0L, touched.size.toLong)
-  }
+  private def verifySeries(k: SeriesKey, touched: Set[(Int, Int)]): WriteReport =
+    readSeries(k) match {
+      case None => WriteReport(0L, 0L, 0L, monotonic = true, 0L)
+      case Some(df) =>
+        val bounds = df.agg(count(lit(1)).as("n"), min("ts").as("from"),
+          max("ts").as("to"), countDistinct(col("ts")).as("nd")).head()
+        if (bounds.getLong(0) == 0L) WriteReport(0L, 0L, 0L, monotonic = true, 0L)
+        else {
+          val t = timestamp_millis(col("ts"))
+          val monthPred = touched.map { case (y, m) => year(t) === y && month(t) === m }
+            .reduceOption(_ || _).getOrElse(lit(true))
+          val w = Window.partitionBy(year(t), month(t)).orderBy(col("ts"))
+          val nonmono = df.filter(monthPred)
+            .select(col("ts"), lag(col("ts"), 1).over(w).as("prev"))
+            .filter(col("prev").isNotNull && col("ts") <= col("prev"))
+            .count()
+          WriteReport(bounds.getLong(0), bounds.getLong(1), bounds.getLong(2),
+            monotonic = nonmono == 0L && bounds.getLong(0) == bounds.getLong(3),
+            touched.size.toLong)
+        }
+    }
 }
 
 /** Pruned reads over the lake (SURVEY §7.1 #4: S1/P1/O1, S10/O2, U2). */

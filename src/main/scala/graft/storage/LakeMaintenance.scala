@@ -25,7 +25,10 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
         col("symbol") === k.symbol && col("type") === k.`type` &&
         col("period") === k.period
 
-    val df = spark.read.parquet(root).filter(seriesPred)
+    // mergeSchema: the root holds heterogeneous series (candles,
+    // funding, ticks) — a schema sampled from another series' file
+    // would silently drop this series' data columns on rewrite
+    val df = spark.read.option("mergeSchema", "true").parquet(root).filter(seriesPred)
     // which (year, month) dirs have too many files?
     val byPartition = df
       .select(col("year"), col("month"), input_file_name().as("f"))
@@ -43,12 +46,15 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
       .reduce(_ || _)
 
     // rewrite only the fragmented dirs (dynamic partition overwrite)
-    spark.read.parquet(root).filter(seriesPred && monthPred)
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .filter(seriesPred && monthPred)
       .localCheckpoint(true) // the write overwrites what this scan reads
       .repartition(partCols.map(col): _*)
-      .sortWithinPartitions("ts")
-      .coalesce(byPartition.length)
+      // partition cols lead so the writer's required ordering is already
+      // satisfied and files stay ts-sorted (see LakeWriter.writeOhlc)
+      .sortWithinPartitions(partCols.map(col) :+ col("ts"): _*)
       .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // never wipe the root
       .option("compression", "snappy")
       .partitionBy(partCols: _*)
       .parquet(root)

@@ -61,4 +61,25 @@ class CsvIngestSpec extends SparkSpec {
     assert(ing.sha256File(f.toString) ==
       "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
   }
+
+  test("misnamed 6-column header renames positionally without eating rows (regression)") {
+    val data = genCandles(10)
+    val f = java.nio.file.Files.createTempFile("misnamed", ".csv")
+    val rows = "timestamp,o,h,l,c,vol" +:
+      data.map(c => s"${c.ts},${c.open},${c.high},${c.low},${c.close},${c.volume}")
+    java.nio.file.Files.write(f, rows.mkString("\n").getBytes)
+    val (ing, reader, _, _) = mk()
+    val rep = ing.ingestCsv(f.toString, "EX", "SPOT", "SYM")
+    assert(rep.rows == 10, s"expected 10 rows, got ${rep.rows}")
+    val got = reader.readRange("EX", "SYM", "raw", 0, Long.MaxValue)
+    assert(got.filter(org.apache.spark.sql.functions.col("ts").isNull).count() == 0)
+  }
+
+  test("empty-after-header CSV yields a clean zero report, not a crash (regression)") {
+    val f = java.nio.file.Files.createTempFile("empty", ".csv")
+    java.nio.file.Files.write(f, "ts,open,high,low,close,volume".getBytes)
+    val (ing, _, _, _) = mk()
+    val rep = ing.ingestCsv(f.toString, "EX", "SPOT", "EMPTYSYM")
+    assert(rep.rows == 0 && rep.monotonic)
+  }
 }

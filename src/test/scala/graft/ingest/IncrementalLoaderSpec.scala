@@ -122,4 +122,30 @@ class IncrementalLoaderSpec extends SparkSpec {
     val rep2 = loader.downloadFunding(conn, "perp", "BTCUSDT", endMs = rates.last._1)
     assert(rep2.rows == 0)
   }
+
+  test("watermarks are scoped per timeframe — 1h history not skipped after 1m (regression)") {
+    val candles1m = genCandles(100, startMs = t0, periodMs = 60000L)
+    val candles1h = genCandles(50, startMs = t0, periodMs = 3600000L, seed = 9)
+    val root = tmpDir("lake")
+    val cat = new ManifestCatalog(spark, root)
+    val loader = new IncrementalLoader(spark, new LakeWriter(spark, root), cat,
+      pageSize = 200, sleeper = _ => ())
+    loader.download(new MockConn(candles1m), "spot", "S", "1m", endMs = candles1m.last.ts)
+    // the 1m watermark is far past the 1h series' start; 1h must still download fully
+    val rep = loader.download(new MockConn(candles1h), "spot", "S", "1h",
+      endMs = candles1h.last.ts)
+    assert(rep.rows == 50, s"1h history was skipped: ${rep.rows} rows")
+  }
+
+  test("off-grid candles between grid points are not skipped (regression)") {
+    // a candle at t0+90s sits between the 1m grid points
+    val candles = genCandles(5, startMs = t0) :+
+      graft.model.Candle(t0 + 90000L, 1, 2, 0, 1, 5.0)
+    val sorted = candles.sortBy(_.ts)
+    val (loader, _, reader) = mk(pageSize = 3)
+    val rep = loader.download(new MockConn(sorted), "spot", "S", "1m",
+      endMs = sorted.last.ts)
+    assert(rep.rows == 6, s"off-grid candle skipped: ${rep.rows} rows")
+    assert(reader.readRange("mockex", "S", "raw", 0, Long.MaxValue).count() == 6)
+  }
 }
