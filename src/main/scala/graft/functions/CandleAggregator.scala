@@ -39,7 +39,10 @@ object CandleAggregator {
       low = math.min(b.low, r.low),
       lastTs = math.max(b.lastTs, r.ts),
       close = if (r.ts > b.lastTs) r.close else b.close,
-      volume = b.volume + BigDecimal(r.volume),
+      // NaN/Inf skipped, matching the resample path (decimal cast of
+      // NaN → null → sum skips); BigDecimal(NaN) would throw
+      volume = if (r.volume.isNaN || r.volume.isInfinite) b.volume
+               else b.volume + BigDecimal(r.volume),
       n = b.n + 1)
 
     def merge(a: Buf, b: Buf): Buf = Buf(

@@ -34,6 +34,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleLen: Int = 3, numPerms: Int = 16,
                  bands: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    require(bands > 0 && numPerms > 0 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands) — " +
+        "bands > numPerms would make every band key empty (an O(N²) cross " +
+        "product), and a remainder would silently waste trailing perms")
     val rowsPerBand = numPerms / bands
     // The persisted index is the distinct 60-bit shingle-HASH set per doc
     // (array<long>, ~8 B/shingle) — shingle strings are never retained or

@@ -22,17 +22,29 @@ import graft.functions.VectorFunctions.{fdot, fnorm}
   */
 object IvfSearch {
 
-  /** argmax-cosine cluster id for a vector against broadcast centroids. */
+  /** argmax-cosine cluster id for each vector: centroids are collected
+    * (k × dim floats — tiny by construction) and inlined as literal
+    * arrays, so assignment is a MAP-ONLY projection — no crossJoin, no
+    * shuffle, no per-row window, deterministic under task retry.
+    * ‖emb‖ scales every centroid's score equally, so argmax only needs
+    * fdot(emb, c)/‖c‖ with ‖c‖ precomputed on the driver. Ties prefer
+    * the smaller cluster id.
+    */
   private def assign(df: DataFrame, centroids: DataFrame,
                      embCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__row")).orderBy(col("__sim").desc, col("cluster"))
-    df.withColumn("__row", monotonically_increasing_id())
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", fdot(col(embCol), col("centroid")) /
-        (fnorm(col(embCol)) * fnorm(col("centroid"))))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "__row", "centroid")
+    val cents: Array[(Int, Array[Float], Double)] = centroids
+      .collect()
+      .map { r =>
+        val c = r.getAs[scala.collection.Seq[Float]]("centroid").toArray
+        val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        (r.getAs[Int]("cluster"), c, if (norm == 0.0) 1.0 else norm)
+      }
+      .sortBy(_._1)
+    val scored = cents.map { case (k, c, norm) =>
+      struct((fdot(col(embCol), array(c.map(lit(_)): _*)) / norm).as("s"),
+        lit(-k).as("nk"))
+    }
+    df.withColumn("cluster", (-greatest(scored.toSeq: _*).getField("nk")).cast("int"))
   }
 
   /** Build centroids: deterministic seed (every (N/k)-th vector by id

@@ -36,10 +36,13 @@ final class JobRegistry(maxPerGroup: Int = 5, maxTotal: Int = 20) {
     }
   }
 
-  /** Promote the oldest pending job in a group if a slot is free. */
+  /** Promote the oldest pending job in a group if BOTH the group and
+    * total running limits allow it.
+    */
   def promoteNext(group: String): Option[String] = synchronized {
+    val running = jobs.values.asScala.count(_.state == Running)
     val groupRunning = jobs.values.asScala.count(j => j.group == group && j.state == Running)
-    if (groupRunning >= maxPerGroup) None
+    if (groupRunning >= maxPerGroup || running >= maxTotal) None
     else jobs.values.asScala.filter(j => j.group == group && j.state == Pending)
       .toSeq.sortBy(_.startedMs).headOption.map { j =>
         jobs.put(j.id, j.copy(state = Running, updatedMs = System.currentTimeMillis()))
@@ -47,17 +50,22 @@ final class JobRegistry(maxPerGroup: Int = 5, maxTotal: Int = 20) {
       }
   }
 
-  def progress(id: String, rows: Long): Unit =
+  // mutators synchronized: an unsynchronized read-copy-put could let a
+  // late progress() overwrite a concurrent fail()/complete() transition
+  def progress(id: String, rows: Long): Unit = synchronized {
     Option(jobs.get(id)).foreach(j =>
       jobs.put(id, j.copy(progress = rows, updatedMs = System.currentTimeMillis())))
+  }
 
-  def complete(id: String): Unit =
+  def complete(id: String): Unit = synchronized {
     Option(jobs.get(id)).foreach(j =>
       jobs.put(id, j.copy(state = Completed, updatedMs = System.currentTimeMillis())))
+  }
 
-  def fail(id: String, error: String): Unit =
+  def fail(id: String, error: String): Unit = synchronized {
     Option(jobs.get(id)).foreach(j =>
       jobs.put(id, j.copy(state = Failed(error), updatedMs = System.currentTimeMillis())))
+  }
 
   def get(id: String): Option[Job] = Option(jobs.get(id))
   def all(): Seq[Job] = jobs.values.asScala.toSeq.sortBy(_.startedMs)

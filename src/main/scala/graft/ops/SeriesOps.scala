@@ -20,21 +20,26 @@ object SeriesOps {
     * One shuffle on (keys, bucket); Catalyst plans partial+final hash agg
     * so the map side combines before shuffling — this is the 100 TB shape.
     */
+  /** THE canonical OHLCV aggregation expressions — shared verbatim by
+    * the batch path here and the streaming path (StreamOps.resampleStream)
+    * so the two can never de-synchronize. min_by/max_by define open/close
+    * by ts (partitioning-independent); volume is decimal-summed so the
+    * result is identical under any partitioning (double addition is
+    * order-dependent; SURVEY §7.4 #3).
+    */
+  def ohlcvAggs: Seq[Column] = Seq(
+    min("ts").as("ts"),
+    min_by(col("open"), col("ts")).as("open"),
+    max("high").as("high"),
+    min("low").as("low"),
+    max_by(col("close"), col("ts")).as("close"),
+    sum(col("volume").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+      .cast("double").as("volume"))
+
   def resampleOhlcv(df: DataFrame, timeframe: String, keys: Seq[String] = Nil): DataFrame = {
     val interval = Timeframes.toSparkInterval(timeframe)
-    val grouped = df
-      .groupBy(keys.map(col) :+ window(timestamp_millis(col("ts")), interval).as("w"): _*)
-      .agg(
-        min("ts").as("ts"),
-        min_by(col("open"), col("ts")).as("open"),
-        max("high").as("high"),
-        min("low").as("low"),
-        max_by(col("close"), col("ts")).as("close"),
-        // decimal-summed so the result is identical under any partitioning
-        // (double addition is order-dependent; SURVEY §7.4 #3)
-        sum(col("volume").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-          .cast("double").as("volume"))
-    grouped
+    df.groupBy(keys.map(col) :+ window(timestamp_millis(col("ts")), interval).as("w"): _*)
+      .agg(ohlcvAggs.head, ohlcvAggs.tail: _*)
       .withColumn("bucket_ts", unix_millis(col("w.start")))
       .drop("w")
   }
@@ -84,7 +89,9 @@ object SeriesOps {
       else Window.partitionBy(lit(1)).orderBy(col("ts"))
     df.select(keys.map(col) :+ col("ts"): _*)
       .withColumn("prev", lag(col("ts"), 1).over(w))
-      .filter(col("ts") - col("prev") > intervalMs)
+      // >= 2 intervals: a ragged gap in (1, 2) intervals has no whole
+      // missing slot, and sequence(start > stop) would throw
+      .filter(col("ts") - col("prev") >= 2 * intervalMs)
       .select(keys.map(col) :+
         explode(sequence(col("prev") + intervalMs, col("ts") - intervalMs,
           lit(intervalMs))).as("missing_ts"): _*)

@@ -27,8 +27,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object TsPartitionPruning extends Rule[LogicalPlan] {
 
+  /** The rule only fires on a Filter sitting directly over a scan chain
+    * (Project/Filter over a leaf relation) — NOT over joins/aggregates,
+    * where columns merely NAMED ts/year/month may be unrelated (e.g. a
+    * calendar dimension's fiscal year) and the derived predicate would
+    * silently drop rows.
+    */
+  private def isScanChain(p: LogicalPlan): Boolean = p match {
+    case _ if p.children.isEmpty => true
+    case proj: org.apache.spark.sql.catalyst.plans.logical.Project => isScanChain(proj.child)
+    case f: Filter => isScanChain(f.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) =>
+    case f @ Filter(cond, child) if isScanChain(child) =>
       val attrs = child.output.map(a => a.name.toLowerCase -> a).toMap
       (attrs.get("ts"), attrs.get("year"), attrs.get("month")) match {
         case (Some(ts), Some(year), Some(month))
@@ -58,13 +71,10 @@ object TsPartitionPruning extends Rule[LogicalPlan] {
       }
   }
 
-  /** epoch-ms → yyyy*100+mm in UTC, clamped to [1970-01, 9999-12]. */
-  def monthKey(ms: Long): Long = {
-    val clamped = math.min(math.max(ms, 0L), 253402300799999L)
-    val ym = java.time.YearMonth.from(
-      java.time.Instant.ofEpochMilli(clamped).atZone(java.time.ZoneOffset.UTC))
-    ym.getYear.toLong * 100L + ym.getMonthValue
-  }
+  /** Shared with the storage reader — see graft.core.MonthKeys (handles
+    * pre-1970 epochs, which land in year=1969 partitions).
+    */
+  def monthKey(ms: Long): Long = graft.core.MonthKeys.monthKey(ms)
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

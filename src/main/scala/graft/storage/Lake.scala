@@ -190,20 +190,14 @@ final class LakeReader(spark: SparkSession, root: String) {
   }
 
   /** year/month partition predicate implied by a ts range: prunes month
-    * directories before any file is opened. Bounds are clamped to
-    * [1970-01, 9999-12] (ts is epoch-ms ≥ 0 in this lake) and the key is
-    * computed in Long — year*100 overflows Int for sentinel ranges like
-    * (0, Long.MaxValue).
+    * directories before any file is opened. Key arithmetic is Long
+    * (year*100 overflows Int for sentinel ranges like (0, Long.MaxValue))
+    * and shared with the optimizer rule via [[graft.core.MonthKeys]].
     */
-  private def monthBounds(startMs: Long, endMs: Long): Column = {
-    def key(ms: Long): Long = {
-      val clamped = math.min(math.max(ms, 0L), 253402300799999L) // ≤ 9999-12-31
-      val ym = java.time.YearMonth.from(
-        java.time.Instant.ofEpochMilli(clamped).atZone(java.time.ZoneOffset.UTC))
-      ym.getYear.toLong * 100L + ym.getMonthValue
-    }
-    (col("year").cast("long") * 100L + col("month")).between(key(startMs), key(endMs))
-  }
+  private def monthBounds(startMs: Long, endMs: Long): Column =
+    (col("year").cast("long") * 100L + col("month"))
+      .between(graft.core.MonthKeys.monthKey(startMs),
+        graft.core.MonthKeys.monthKey(endMs))
 
   /** Stable pagination (S10/O2): global order by ts, offset/limit. */
   def page(df: DataFrame, offset: Int, limit: Int): DataFrame =

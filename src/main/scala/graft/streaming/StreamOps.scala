@@ -27,18 +27,13 @@ object StreamOps {
                      lateness: String = "10 minutes",
                      keys: Seq[String] = Nil): DataFrame = {
     val interval = Timeframes.toSparkInterval(timeframe)
+    // the SAME agg expressions as the batch path, by construction
+    val aggs = graft.ops.SeriesOps.ohlcvAggs
     input
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
       .groupBy(keys.map(col) :+ window(col("event_time"), interval).as("w"): _*)
-      .agg(
-        min("ts").as("ts"),
-        min_by(col("open"), col("ts")).as("open"),
-        max("high").as("high"),
-        min("low").as("low"),
-        max_by(col("close"), col("ts")).as("close"),
-        sum(col("volume").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-          .cast("double").as("volume"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_ts", unix_millis(col("w.start")))
       .drop("w")
   }
