@@ -179,21 +179,86 @@ object Extended {
       .orderBy("source")
   }
 
-  /** Language-ID distribution — rows-only check here (the 4-language
-    * argmax fold is spec-verified in LlmSpec); counts per predicted
-    * language over documents.
+  /** Language-ID distribution — oracle-checked: the DuckDB SQL is
+    * GENERATED from the same marker lists as TextAnalysis.langId, with
+    * the fold's tie priority (reverse-sorted language order) replicated
+    * as a CASE chain. Scores are exact int-count ratios in double, so
+    * both engines compute bit-identical values.
     */
-  val langIdDist: Q = Q.rowsOnly("q47_lang_id_dist") { (s, d) =>
+  val langIdDist: Q = Q(
+    "q47_lang_id_dist", {
+      val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+      def score(l: String): String = {
+        val in = TextAnalysis.langMarkers(l).map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($in))) * 1.0 / greatest(len(toks), 1)"
+      }
+      val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n      ")
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      // foldLeft over sorted langs: later equal-best overwrites ⇒
+      // reverse-order priority in the CASE chain
+      val cases = langs.reverse.map(l =>
+        s"WHEN s_$l >= 0.02 AND s_$l = $best THEN '$l'").mkString("\n        ")
+      s"""WITH toks AS (
+         |  SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |scored AS (
+         |  SELECT $scoreCols FROM toks)
+         |SELECT CASE
+         |        $cases
+         |        ELSE 'unknown' END AS predicted,
+         |  COUNT(*) AS n
+         |FROM scored
+         |GROUP BY predicted
+         |ORDER BY predicted""".stripMargin
+    }) { (s, d) =>
     Tables.documents(s, d)
       .select(TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy("predicted").agg(count(lit(1)).as("n"))
       .orderBy("predicted")
   }
 
-  /** Multi-probe LSH ANN — rows-only check (recall-vs-exact is
-    * spec-verified); top-3 neighbors for 5 query vectors.
+  /** Multi-probe LSH ANN — oracle-checked end-to-end: deterministic
+    * hyperplane buckets (as q44), radius-2 probe masks, exact cosine
+    * ranking — all generated from the same constants as the Spark plan.
+    * Top-3 neighbors for 5 query vectors at 6 planes.
     */
-  val annLsh: Q = Q.rowsOnly("q48_ann_lsh") { (s, d) =>
+  val annLsh: Q = Q(
+    "q48_ann_lsh", {
+      val planes = 6
+      def planeDot(h: Int): String =
+        (0 until 64).map { j =>
+          s"CAST(embedding[${j + 1}] AS DOUBLE) * (${SimilaritySearch.duckWeight(h, j)})"
+        }.mkString("(", " + ", ")")
+      val bucket = (0 until planes).map(h =>
+        s"(CASE WHEN ${planeDot(h)} > 0 THEN ${1L << h} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      val masks = (Seq(0L) ++ (0 until planes).map(h => 1L << h) ++
+        (for { h1 <- 0 until planes; h2 <- (h1 + 1) until planes }
+          yield (1L << h1) | (1L << h2))).mkString("[", ", ", "]")
+      val ssq = (e: String) =>
+        s"sqrt(list_aggregate(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |         UNNEST(list_transform($masks, m -> xor(bucket, m))) AS bucket
+         |  FROM bucketed WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT q_id, q_emb, b.vec_id AS n_id, b.embedding AS n_emb
+         |  FROM probes p JOIN bucketed b USING (bucket)
+         |  WHERE b.vec_id <> q_id),
+         |sims AS (
+         |  SELECT q_id, n_id,
+         |    list_aggregate(list_transform(list_zip(q_emb, n_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+         |      / (${ssq("q_emb")} * ${ssq("n_emb")}) AS sim
+         |  FROM cand)
+         |SELECT q_id, n_id, rnk FROM (
+         |  SELECT q_id, n_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
+         |  FROM sims)
+         |WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     SimilaritySearch.topKLsh(emb, emb.filter(col("vec_id") < 5), 3,
       planes = 6, probeRadius = 2)
