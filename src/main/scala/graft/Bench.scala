@@ -13,18 +13,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup (not timed): run every query once at the smallest SF — the
-    // generated whole-stage-codegen source is data-independent, so this
-    // pre-compiles and JITs every plan; then touch the target SF's
-    // parquet footers. Measures steady-state per-query cost.
+    // Warmup (not timed): run every query once AT THE TARGET SF. AQE
+    // re-plans per scale factor (different join strategies ⇒ different
+    // codegen), so warming at a smaller SF still leaves first-run JIT
+    // in the timed pass — the warmup must execute the exact plans that
+    // will be timed. Measures steady-state per-query cost.
     try {
-      val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory)
-        SparkEntry.queries.values.foreach(fn =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => })
-      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-        "region", "documents", "embeddings").foreach(t => Tables.t(spark, sfDir, t).count())
-      Tables.events(spark, sfDir).count()
+      SparkEntry.queries.values.foreach(fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => })
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -17,10 +17,26 @@ import graft.functions.VectorFunctions.{fdot, fnorm}
   * floats) and always broadcast — the corpus never shuffles for a
   * query.
   *
+  * Determinism: every step is order-independent AND bit-identical
+  * cross-engine, so the whole pipeline is verifiable against a DuckDB
+  * oracle (q49):
+  *   - seeding = md5-hash buckets + min-id representative (one
+  *     map-side-combinable agg — NO global window, no single-partition
+  *     funnel);
+  *   - Lloyd's mean = exact scaled-integer sums (floor(v·2^20) BIGINT),
+  *     divided once in double — order-independent, and the 2^-20
+  *     quantization is far below any distance that matters to a coarse
+  *     quantizer.
+  *
   * Search: a query probes its nProbe nearest centroids' clusters and
   * ranks candidates by exact cosine.
   */
 object IvfSearch {
+
+  /** Lloyd-update quantization scale (2^20): float·2^20 floors to an
+    * exact BIGINT in both engines, sums stay well under 2^63.
+    */
+  val QuantScale: Double = 1048576.0
 
   /** argmax-cosine cluster id for each vector: centroids are collected
     * (k × dim floats — tiny by construction) and inlined as literal
@@ -47,29 +63,34 @@ object IvfSearch {
     df.withColumn("cluster", (-greatest(scored.toSeq: _*).getField("nk")).cast("int"))
   }
 
-  /** Build centroids: deterministic seed (every (N/k)-th vector by id
-    * rank), then `iters` Lloyd refinements. Returns (cluster, centroid).
+  /** Deterministic 60-bit md5 hash of the id (cross-engine: DuckDB
+    * computes the identical value — see TextHash.duckMd5Long).
+    */
+  private def idHash(idCol: String): Column =
+    TextHash.md5Long(col(idCol).cast("string"))
+
+  /** Build centroids: deterministic hash-bucket seed (md5(id) mod k
+    * buckets, representative = embedding at the bucket's min id), then
+    * `iters` Lloyd refinements. Returns (cluster, centroid).
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val n = corpus.count()
-    val stride = math.max(1L, n / k)
-    val w = Window.orderBy(col(idCol))
     var centroids = corpus
-      .withColumn("__rk", row_number().over(w))
-      .filter((col("__rk") - 1) % stride === 0 && (col("__rk") - 1) / stride < k)
-      .select((((col("__rk") - 1) / stride)).cast("int").as("cluster"),
-        col(embCol).as("centroid"))
+      .groupBy(pmod(idHash(idCol), lit(k.toLong)).cast("int").as("cluster"))
+      .agg(min_by(col(embCol), col(idCol)).as("centroid"))
       .localCheckpoint(true)
 
     for (_ <- 0 until iters) {
       val assigned = assign(corpus.select(col(idCol), col(embCol)), centroids, embCol)
-      // per-dimension mean via posexplode + groupBy (map-side combinable)
+      // per-dimension mean via posexplode + groupBy: exact scaled-integer
+      // sums (map-side combinable, order-independent), one double divide
       centroids = assigned
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(floor(col("v").cast("double") * QuantScale)).as("q"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("q").cast("double") / (col("n").cast("double") * QuantScale)).as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
@@ -107,5 +128,86 @@ object IvfSearch {
           (fnorm(col("q_emb")) * fnorm(col(embCol)))).as("sim"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  // ---- DuckDB oracle generation (same constants, same arithmetic) ----
+
+  /** DuckDB: sequential double dot product of two REAL lists. */
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+
+  private def duckNorm(a: String): String =
+    s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  /** The full q49 pipeline as one DuckDB SQL statement, generated from
+    * the same constants as the Spark plan (k clusters, `iters` Lloyd
+    * rounds, nProbe probes, top-k). Every floating-point op replicates
+    * the Spark expression exactly: assign scores are dot/‖c‖ (driver
+    * norm = sequential double fold), probe/rank scores are full cosine,
+    * Lloyd means are floor(v·2^20) BIGINT sums divided once.
+    */
+  def duckOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
+                 queryPred: String = "vec_id < 5"): String = {
+    val seed =
+      s"""SELECT s.cluster, e.embedding AS centroid FROM (
+         |  SELECT (${TextHash.duckMd5Long("vec_id::VARCHAR")} % $k) AS cluster,
+         |         MIN(vec_id) AS mid
+         |  FROM embeddings GROUP BY 1) s
+         |JOIN embeddings e ON e.vec_id = s.mid""".stripMargin
+    def assignSql(cents: String): String =
+      s"""SELECT vec_id, embedding, cluster FROM (
+         |  SELECT e.vec_id, e.embedding, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${duckDot("e.embedding", "c.centroid")} /
+         |        (CASE WHEN ${duckNorm("c.centroid")} = 0 THEN 1.0
+         |              ELSE ${duckNorm("c.centroid")} END) DESC,
+         |      c.cluster ASC) AS __rn
+         |  FROM embeddings e CROSS JOIN $cents c)
+         |WHERE __rn = 1""".stripMargin
+    def update(assigned: String): String =
+      s"""SELECT cluster, list(CAST(m AS REAL) ORDER BY dim) AS centroid FROM (
+         |  SELECT cluster, dim,
+         |    CAST(SUM(CAST(FLOOR(v * $QuantScale) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * $QuantScale) AS m
+         |  FROM (
+         |    SELECT cluster,
+         |      UNNEST(generate_series(1, len(embedding))) AS dim,
+         |      UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |    FROM $assigned)
+         |  GROUP BY cluster, dim)
+         |GROUP BY cluster""".stripMargin
+
+    val lloydCtes = (0 until iters).flatMap { i =>
+      val cents = if (i == 0) "seeds" else s"cent$i"
+      Seq(s"a${i + 1} AS (${assignSql(cents)})",
+        s"cent${i + 1} AS (${update(s"a${i + 1}")})")
+    }
+    val finalCents = if (iters == 0) "seeds" else s"cent$iters"
+
+    s"""WITH seeds AS ($seed),
+       |${lloydCtes.mkString(",\n")},
+       |idx AS (${assignSql(finalCents)}),
+       |probes AS (
+       |  SELECT q_id, q_emb, cluster FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckDot("e.embedding", "c.centroid")} /
+       |          (${duckNorm("e.embedding")} * ${duckNorm("c.centroid")}) DESC,
+       |        c.cluster ASC) AS __rn
+       |    FROM embeddings e CROSS JOIN $finalCents c
+       |    WHERE e.$queryPred)
+       |  WHERE __rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.q_id, p.q_emb, i.vec_id AS n_id, i.embedding AS n_emb
+       |  FROM probes p JOIN idx i USING (cluster)
+       |  WHERE i.vec_id <> p.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |      ${duckDot("q_emb", "n_emb")} /
+       |        (${duckNorm("q_emb")} * ${duckNorm("n_emb")}) DESC, n_id) AS BIGINT) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= $topK
+       |ORDER BY q_id, rnk""".stripMargin
   }
 }

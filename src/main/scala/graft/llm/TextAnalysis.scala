@@ -11,20 +11,28 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Common function words per language for the n-gram/stopword LID
-    * heuristic (public-knowledge lists, top function words).
+    * heuristic (public-knowledge lists, top function words) — canonical
+    * data lives in the fused kernel object.
     */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "for", "it"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
-    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
-    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "del", "se", "es"))
+  val langMarkers: Map[String, Seq[String]] = graft.functions.LangIdExpr.markers
 
   def markerScore(tokens: Column, lang: String): Column =
     size(filter(tokens, t => t.isin(langMarkers(lang): _*))).cast("double") /
       greatest(size(tokens), lit(1)).cast("double")
 
-  /** Best-scoring language, or "unknown" below `minScore`. */
-  def langId(textCol: Column, minScore: Double = 0.02): Column = {
+  /** Best-scoring language, or "unknown" below `minScore` — the fused
+    * one-pass codegen kernel (graft.functions.LangIdExpr). The coalesce
+    * reproduces the composition's null behavior (null text ⇒ "unknown",
+    * because the when-fold's accumulator starts at lit("unknown")).
+    */
+  def langId(textCol: Column, minScore: Double = 0.02): Column =
+    coalesce(graft.functions.LangIdExpr(textCol, minScore), lit("unknown"))
+
+  /** The pure built-in composition langId replaced — kept as the
+    * cross-check for FusedKernelSpec (it is also what the generated q47
+    * DuckDB oracle replays).
+    */
+  def langIdComposed(textCol: Column, minScore: Double = 0.02): Column = {
     val toks = split(lower(textCol), "\\s+")
     val scored = langMarkers.keys.toSeq.sorted.map(l => (l, markerScore(toks, l)))
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))

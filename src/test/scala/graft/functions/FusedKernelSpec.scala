@@ -65,6 +65,29 @@ class FusedKernelSpec extends SparkSpec {
     assert(fused == builtin)
   }
 
+  test("LangIdExpr == built-in langId composition (incl. null ⇒ unknown)") {
+    val lidTexts = texts ++ Seq(
+      (100L, "the quick brown fox and the lazy dog of it all"),
+      (101L, "der hund und die katze ist nicht mit von zu haus"),
+      (102L, "le chat est dans la maison pour les amis sur des"),
+      (103L, "el perro los gatos las casas una por con para del"),
+      (104L, "THE OF AND TO IN A IS THAT FOR IT"), // uppercase → lower()
+      (105L, "la la la"),                           // single-lang tie with itself
+      (106L, "the der le el"),                      // 4-way tie → reverse-sorted priority
+      (107L, "x y z q w"),                          // no markers → unknown
+      (108L, "the xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx".padTo(200, 'x')))
+    val d = lidTexts.toDF("id", "text")
+      .union(Seq((999L, null.asInstanceOf[String])).toDF("id", "text"))
+    val fused = d.select(col("id"), graft.llm.TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val builtin = d.select(col("id"), graft.llm.TextAnalysis.langIdComposed(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused == builtin)
+    assert(fused(999L) == "unknown")
+    assert(fused(100L) == "en" && fused(101L) == "de" &&
+      fused(102L) == "fr" && fused(103L) == "es")
+  }
+
   test("FloatVecDot == aggregate(zip_with) composition, bit-exact") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.5f, -3.25f), Array(0.5f, -1.5f, 2.0f)),
