@@ -34,7 +34,10 @@ import graft.functions.VectorFunctions.{fdot, fnorm}
 object IvfSearch {
 
   /** Lloyd-update quantization scale (2^20): float·2^20 floors to an
-    * exact BIGINT in both engines, sums stay well under 2^63.
+    * exact integer in both engines. Sums accumulate as DECIMAL(38,0) on
+    * the Spark side (still map-side combinable and exact) and HUGEINT on
+    * the DuckDB side (its native BIGINT-sum type), so there is no 2^63
+    * wraparound even with unnormalized embeddings at 10^11-row clusters.
     */
   val QuantScale: Double = 1048576.0
 
@@ -71,7 +74,11 @@ object IvfSearch {
 
   /** Build centroids: deterministic hash-bucket seed (md5(id) mod k
     * buckets, representative = embedding at the bucket's min id), then
-    * `iters` Lloyd refinements. Returns (cluster, centroid).
+    * `iters` Lloyd refinements. Returns (cluster, centroid) with AT MOST
+    * k rows: md5-hash seeding can leave a bucket empty on small corpora,
+    * and a Lloyd round drops clusters that receive no assignments —
+    * callers must not assume exactly k clusters. (Fewer clusters only
+    * coarsens the quantizer; probe and rank remain correct.)
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -87,7 +94,7 @@ object IvfSearch {
       centroids = assigned
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg(sum(floor(col("v").cast("double") * QuantScale)).as("q"),
+        .agg(sum(floor(col("v").cast("double") * QuantScale).cast("decimal(38,0)")).as("q"),
           count(lit(1)).as("n"))
         .select(col("cluster"), col("dim"),
           (col("q").cast("double") / (col("n").cast("double") * QuantScale)).as("m"))

@@ -266,10 +266,17 @@ object Extended {
       .orderBy("q_id", "rnk")
   }
 
-  /** IVF ANN — rows-only check (recall-vs-exact is spec-verified in
-    * IvfSpec); k=8 coarse clusters, 3 probes, top-3 for 5 queries.
+  /** IVF ANN — full bit-exact DuckDB oracle (seeding, Lloyd update,
+    * assignment, probe and rank all replicated arithmetic-for-arithmetic
+    * by [[graft.llm.IvfSearch.duckOracle]]); recall-vs-exact is
+    * additionally spec-verified in IvfSpec. k=8 coarse clusters, 1 Lloyd
+    * iteration, 3 probes, top-3 for 5 queries — constants MUST match the
+    * Spark calls below.
     */
-  val annIvf: Q = Q.rowsOnly("q49_ann_ivf") { (s, d) =>
+  val annIvf: Q = Q(
+    "q49_ann_ivf",
+    graft.llm.IvfSearch.duckOracle(k = 8, iters = 1, nProbe = 3, topK = 3,
+      queryPred = "vec_id < 5")) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val centroids = graft.llm.IvfSearch.trainCentroids(emb, k = 8, iters = 1)
     val index = graft.llm.IvfSearch.buildIndex(emb, centroids)
