@@ -20,4 +20,17 @@ object MonthKeys {
       java.time.Instant.ofEpochMilli(clamped).atZone(java.time.ZoneOffset.UTC))
     ym.getYear.toLong * 100L + ym.getMonthValue
   }
+
+  /** UTC calendar date of an epoch-ms Column, independent of
+    * `spark.sql.session.timeZone` — unlike `year(timestamp_millis(ts))`,
+    * which silently follows the session zone and would write partitions
+    * offset from the UTC months both pruning paths assume. Epoch-day
+    * floor-division is exactly the UTC date (same arithmetic as
+    * [[monthKey]]'s java.time path); extremes are clamped identically.
+    */
+  def utcDate(tsMs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val clamped = least(greatest(tsMs, lit(MinMs)), lit(MaxMs))
+    date_from_unix_date(floor(clamped / lit(86400000.0d)).cast("int"))
+  }
 }

@@ -31,10 +31,22 @@ object TsPartitionPruning extends Rule[LogicalPlan] {
     * (Project/Filter over a leaf relation) — NOT over joins/aggregates,
     * where columns merely NAMED ts/year/month may be unrelated (e.g. a
     * calendar dimension's fiscal year) and the derived predicate would
-    * silently drop rows.
+    * silently drop rows — AND only when the leaf is a file scan whose
+    * PARTITION schema actually contains year/month (a lake layout).
+    * A non-lake table that merely has ts/year/month data columns (local
+    * time, fiscal calendar, in-memory frame) is never rewritten: there
+    * the derived UTC-month conjunct could disagree with the stored
+    * values and silently drop rows, and without partition directories it
+    * can't prune anything anyway.
     */
   private def isScanChain(p: LogicalPlan): Boolean = p match {
-    case _ if p.children.isEmpty => true
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val pcols = fs.partitionSchema.fieldNames.map(_.toLowerCase).toSet
+          pcols.contains("year") && pcols.contains("month")
+        case _ => false
+      }
     case proj: org.apache.spark.sql.catalyst.plans.logical.Project => isScanChain(proj.child)
     case f: Filter => isScanChain(f.child)
     case _ => false

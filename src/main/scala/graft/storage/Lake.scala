@@ -44,15 +44,20 @@ final class LakeWriter(spark: SparkSession, root: String) {
 
   private def withPartitionCols(df: DataFrame, key: SeriesKey): DataFrame = {
     val k = key.sanitized
-    val t = timestamp_millis(col("ts"))
+    // UTC-arithmetic date, NOT year(timestamp_millis(ts)): the latter
+    // follows spark.sql.session.timeZone, so a non-UTC session would
+    // write partitions offset from the UTC months that BOTH pruning
+    // paths (LakeReader.monthBounds, TsPartitionPruning) assume, and
+    // pruned reads would silently miss month-boundary rows.
+    val d = graft.core.MonthKeys.utcDate(col("ts").cast("long"))
     df.withColumn("ts", col("ts").cast("long")) // epoch-ms contract (§1.2)
       .withColumn("exchange", lit(k.exchange))
       .withColumn("market", lit(k.market))
       .withColumn("symbol", lit(k.symbol))
       .withColumn("type", lit(k.`type`))
       .withColumn("period", lit(k.period))
-      .withColumn("year", year(t))
-      .withColumn("month", month(t))
+      .withColumn("year", year(d))
+      .withColumn("month", month(d))
   }
 
   /** Merge-write (upsert) a batch into the series: last-wins on `ts`
@@ -149,10 +154,12 @@ final class LakeWriter(spark: SparkSession, root: String) {
           max("ts").as("to"), countDistinct(col("ts")).as("nd")).head()
         if (bounds.getLong(0) == 0L) WriteReport(0L, 0L, 0L, monotonic = true, 0L)
         else {
-          val t = timestamp_millis(col("ts"))
-          val monthPred = touched.map { case (y, m) => year(t) === y && month(t) === m }
+          // same UTC derivation as the writer — a tz-offset grouping here
+          // would check monotonicity on a subtly different month subset
+          val d = graft.core.MonthKeys.utcDate(col("ts"))
+          val monthPred = touched.map { case (y, m) => year(d) === y && month(d) === m }
             .reduceOption(_ || _).getOrElse(lit(true))
-          val w = Window.partitionBy(year(t), month(t)).orderBy(col("ts"))
+          val w = Window.partitionBy(year(d), month(d)).orderBy(col("ts"))
           val nonmono = df.filter(monthPred)
             .select(col("ts"), lag(col("ts"), 1).over(w).as("prev"))
             .filter(col("prev").isNotNull && col("ts") <= col("prev"))

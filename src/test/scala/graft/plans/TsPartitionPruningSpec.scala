@@ -52,6 +52,43 @@ class TsPartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("rule does NOT fire on non-lake tables whose year/month are not partition columns") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = Sessions.configure(
+      SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions), 4).getOrCreate()
+    try {
+      import s2.implicits._
+      // fiscal calendar: year/month are ts-month + 6 — a UTC-derived
+      // conjunct would contradict the stored values and drop rows
+      val fiscal = (0 until 12).map { m =>
+        val ts = 1672531200000L + m * 2678400000L
+        val fm = (m + 6) % 12 + 1
+        (ts, 2023 + (m + 6) / 12, fm, s"row$m")
+      }
+      // flat parquet: ts/year/month are DATA columns, no partition dirs
+      val flat = tmpDir("flat")
+      fiscal.toDF("ts", "year", "month", "v").write.mode("overwrite").parquet(flat)
+      val q = s2.read.parquet(flat)
+        .filter(col("ts") >= 1672531200000L && col("ts") <= 1680307200000L)
+      assert(q.collect().length == 3, "rule dropped rows on a non-lake parquet table")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("* 100"),
+        s"derived month-key conjunct on a non-lake table:\n${q.queryExecution.optimizedPlan}")
+      // in-memory frame with the same shape: also untouched
+      val mem = fiscal.toDF("ts", "year", "month", "v")
+        .filter(col("ts") >= 1672531200000L && col("ts") <= 1680307200000L)
+      assert(mem.collect().length == 3)
+      assert(!mem.queryExecution.optimizedPlan.toString.contains("* 100"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("rule is idempotent (no predicate explosion on re-apply)") {
     val base = spark
     SparkSession.clearActiveSession()

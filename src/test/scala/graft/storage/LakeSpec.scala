@@ -25,6 +25,34 @@ class LakeSpec extends SparkSpec {
     assert(got.head.getDouble(1) == data.head.open)
   }
 
+  test("non-UTC session still writes UTC-aligned partitions; boundary rows read back") {
+    // Sydney is UTC+11 in January: for ts in [Jan 31 13:00Z, Feb 1 0:00Z)
+    // the local calendar already says February, so a tz-sensitive
+    // year()/month() derivation would file those rows under month=2 and
+    // UTC month pruning would silently miss them.
+    val sydney = spark.newSession()
+    sydney.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    val root = tmpDir("lake")
+    // hourly candles Jan 31 2023 00:00Z .. Feb 1 2023 23:00Z (48 rows)
+    val data = genCandles(48, startMs = 1675123200000L, periodMs = 3600000L)
+    import sydney.implicits._
+    new LakeWriter(sydney, root).writeOhlc(data.toDF(),
+      SeriesKey("EX", "SPOT", "SYM", "raw", "1h"))
+
+    // partition directories are UTC months: Jan holds exactly the 24
+    // rows with ts < Feb 1 00:00Z, including the 11 Sydney-February ones
+    val reader = new LakeReader(spark, root)
+    val jan = spark.read.parquet(root).filter(col("month") === 1)
+    assert(jan.count() == 24, "partitions not UTC-aligned")
+    // boundary rows survive a pruned January read
+    val janRead = reader.readRange("EX", "SYM", "raw",
+      1675123200000L, 1675209599999L) // Jan 31 00:00Z .. 23:59:59.999Z
+    assert(janRead.count() == 24)
+    // and the full range round-trips every row
+    assert(reader.readRange("EX", "SYM", "raw", data.head.ts, data.last.ts)
+      .count() == 48)
+  }
+
   test("ts range filter + month pruning narrows the scan") {
     val root = tmpDir("lake")
     val writer = new LakeWriter(spark, root)
