@@ -15,6 +15,8 @@ import graft.storage.{LakeReader, LakeWriter, SeriesKey}
   * Usage:
   *   graft.cli.Main <lakeRoot> init
   *   graft.cli.Main <lakeRoot> ingest <csv> <exchange> <market> <symbol> [period]
+  *   graft.cli.Main <lakeRoot> download-symbols <fixtureDir> [market]
+  *   graft.cli.Main <lakeRoot> download-history <fixtureDir> <symbol> [market] [timeframe] [days|all] [funding]
   *   graft.cli.Main <lakeRoot> read <exchange> <symbol> <type> <startMs> <endMs> [limit]
   *   graft.cli.Main <lakeRoot> resample <exchange> <symbol> <timeframe>
   *   graft.cli.Main <lakeRoot> list [symbol]
@@ -22,15 +24,30 @@ import graft.storage.{LakeReader, LakeWriter, SeriesKey}
   *   graft.cli.Main <lakeRoot> delete <exchange> <symbol>
   *   graft.cli.Main <lakeRoot> upload-feature <file> <set> <version>
   *   graft.cli.Main <lakeRoot> features
+  *
+  * `download-*` mirror the reference's most-used entry points
+  * (`dl-datalake/src/dl_datalake/cli.py:24-80`): history resumes from
+  * the catalog watermark, falls back to a days-back start (`all` = the
+  * venue's earliest candle), and optionally pulls funding rates. The
+  * connector is the fixture-backed [[graft.ingest.CsvReplayConnector]]
+  * — swap in a live venue by implementing [[graft.ingest.Connector]].
   */
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Main <lakeRoot> <command> [args...]")
+    val spark = Sessions.local(appName = s"graft-${args(1)}")
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Command dispatch on a caller-owned session — the integration spec
+    * drives the full CLI path without stopping the shared test session.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Main <lakeRoot> <command> [args...]")
     val root = args(0)
     val cmd = args(1)
     val rest = args.drop(2)
-    val spark = Sessions.local(appName = s"graft-$cmd")
-    spark.sparkContext.setLogLevel("WARN")
     val catalog = new ManifestCatalog(spark, root)
     val writer = new LakeWriter(spark, root)
     val reader = new LakeReader(spark, root)
@@ -93,9 +110,43 @@ object Main {
       case "features" =>
         new FeatureStore(spark, root, catalog).listSets().show(truncate = false)
 
+      case "download-feature" =>
+        val Array(set, dst) = rest.take(2)
+        val e = new FeatureStore(spark, root, catalog).download(set, dst, rest.lift(2))
+        println(s"downloaded $set v${e.version} checksum=${e.checksum} -> $dst")
+
+      case "download-symbols" =>
+        val fixtures = rest(0)
+        val market = rest.lift(1).getOrElse("spot")
+        val conn = new graft.ingest.CsvReplayConnector(fixtures)
+        val syms = conn.listSymbols(market)
+        syms.foreach(println)
+        println(s"Total symbols on ${conn.name.toUpperCase}: ${syms.length}")
+
+      case "download-history" =>
+        val Array(fixtures, sym) = rest.take(2)
+        val market = rest.lift(2).getOrElse("spot")
+        val tf = rest.lift(3).getOrElse("1m")
+        // start-date fallback (cli.py:47-80 `days`): catalog watermark
+        // wins if present; otherwise now-minus-days; "all" defers to the
+        // venue's earliest candle
+        val startMs = rest.lift(4).getOrElse("7") match {
+          case "all" => None
+          case days => Some(System.currentTimeMillis() - days.toLong * 86400000L)
+        }
+        val funding = rest.lift(5).contains("funding")
+        val conn = new graft.ingest.CsvReplayConnector(fixtures)
+        val loader = new graft.ingest.IncrementalLoader(spark, writer, catalog)
+        val rep = loader.download(conn, market, sym, tf, startMs = startMs)
+        println(s"Saved ${rep.rows} candles. " +
+          s"(pages=${rep.pages} flushes=${rep.flushes} from=${rep.timeFrom} to=${rep.timeTo})")
+        if (funding) {
+          val f = loader.downloadFunding(conn, market, sym)
+          println(s"Saved ${f.rows} funding records.")
+        }
+
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }
-    spark.stop()
   }
 }

@@ -65,6 +65,48 @@ final class FeatureStore(spark: SparkSession, root: String, catalog: ManifestCat
   def latestVersion(featureSet: String): Option[String] =
     catalog.latestVersion(featureSet)
 
+  /** Copy a registered feature file back out, re-computing SHA-256 in
+    * flight and REJECTING the download (partial file removed, exception
+    * thrown) if it does not match the checksum recorded at upload —
+    * the read side of the reference's integrity contract
+    * (`client/api_server.py:316-344`, `client/dl_client.py:73`).
+    * Default version = latest. Returns the verified manifest entry.
+    */
+  def download(featureSet: String, dstPath: String,
+               version: Option[String] = None): ManifestEntry = {
+    val v = version.orElse(latestVersion(featureSet)).getOrElse(
+      throw new NoSuchElementException(s"no versions of feature set '$featureSet'"))
+    val row = catalog.featureEntries()
+      .filter(col("type") === featureSet && col("version") === v)
+      .collect().headOption.getOrElse(
+        throw new NoSuchElementException(s"feature set '$featureSet' v$v not found"))
+    val srcStr = row.getAs[String]("path")
+    val expected = row.getAs[String]("checksum")
+    val src = new org.apache.hadoop.fs.Path(srcStr)
+    val dst = new org.apache.hadoop.fs.Path(
+      if (dstPath.contains(":/")) dstPath else s"file:$dstPath")
+    val sfs = fs(src.toString); val dfs = fs(dst.toString)
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = sfs.open(src)
+    val out = dfs.create(dst, true)
+    try {
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf) }
+    } finally { in.close(); out.close() }
+    val actual = md.digest().map("%02x".format(_)).mkString
+    if (actual != expected) {
+      dfs.delete(dst, false) // never leave a corrupt copy behind
+      throw new java.io.IOException(
+        s"checksum mismatch for $featureSet v$v: stored $expected, read $actual")
+    }
+    ManifestEntry(row.getAs[String]("exchange"), row.getAs[String]("market"),
+      row.getAs[String]("symbol"), srcStr, featureSet,
+      row.getAs[Long]("time_from"), row.getAs[Long]("time_to"), v, expected,
+      row.getAs[Long]("created_at"), row.getAs[String]("script_git_hash"),
+      row.getAs[String]("metadata_json"))
+  }
+
   def delete(featureSet: String, version: Option[String] = None): Long = {
     val victims = catalog.featureEntries().filter(col("type") === featureSet)
     val scoped = version.map(v => victims.filter(col("version") === v)).getOrElse(victims)
