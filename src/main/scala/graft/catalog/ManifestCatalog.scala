@@ -71,10 +71,17 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
     market = e.market.toUpperCase,
     symbol = e.symbol.toUpperCase)
 
-  /** Upsert-by-path (last entry for a path wins at read time). */
+  /** Upsert-by-path (last entry for a path wins at read time). Two
+    * entries for one path WITHIN a batch would share `_seq` and make
+    * snapshot()'s winner nondeterministic — so the batch is pre-reduced
+    * to its last entry per path (caller order), the same last-wins the
+    * log gives across batches.
+    */
   def addEntries(entries: Seq[ManifestEntry]): Unit = withLock {
     val seq = nextSeq()
-    entries.map(normalized).toDF()
+    val lastPerPath = entries.map(normalized).zipWithIndex
+      .groupBy(_._1.path).valuesIterator.map(_.maxBy(_._2)._1).toSeq
+    lastPerPath.toDF()
       .withColumn("_seq", lit(seq))
       .withColumn("_deleted", lit(false))
       .coalesce(1)

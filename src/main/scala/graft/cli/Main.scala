@@ -15,6 +15,7 @@ import graft.storage.{LakeReader, LakeWriter, SeriesKey}
   * Usage:
   *   graft.cli.Main <lakeRoot> init
   *   graft.cli.Main <lakeRoot> ingest <csv> <exchange> <market> <symbol> [period]
+  *   graft.cli.Main <lakeRoot> ingest-ticks <csv> <exchange> <market> <symbol>
   *   graft.cli.Main <lakeRoot> download-symbols <fixtureDir> [market]
   *   graft.cli.Main <lakeRoot> download-history <fixtureDir> <symbol> [market] [timeframe] [days|all] [funding]
   *   graft.cli.Main <lakeRoot> read <exchange> <symbol> <type> <startMs> <endMs> [limit]
@@ -62,6 +63,12 @@ object Main {
         val rep = new CsvIngest(spark, writer, catalog).ingestCsv(csv, ex, mkt, sym, period)
         println(s"ingested rows=${rep.rows} from=${rep.timeFrom} to=${rep.timeTo} " +
           s"monotonic=${rep.monotonic} partitions=${rep.partitions}")
+
+      case "ingest-ticks" =>
+        val Array(csv, ex, mkt, sym) = rest.take(4)
+        val rep = new CsvIngest(spark, writer, catalog).ingestTicksCsv(csv, ex, mkt, sym)
+        println(s"ingested ticks rows=${rep.rows} from=${rep.timeFrom} to=${rep.timeTo} " +
+          s"partitions=${rep.partitions}")
 
       case "read" =>
         val Array(ex, sym, typ, start, end) = rest.take(5)

@@ -32,13 +32,20 @@ object CandleAggregator {
   val agg: Aggregator[In, Buf, Out] = new Aggregator[In, Buf, Out] {
     def zero: Buf = empty
 
+    // Duplicate-ts tie-break: min(open)/min(close) — arbitrary but
+    // deterministic under any partitioning or merge-tree shape (a plain
+    // first-seen-wins would be encounter-order-dependent), mirroring the
+    // merge-write path's content-hash tie rule. Clean series have unique
+    // ts per bucket and never hit it.
     def reduce(b: Buf, r: In): Buf = Buf(
       firstTs = math.min(b.firstTs, r.ts),
-      open = if (r.ts < b.firstTs) r.open else b.open,
+      open = if (r.ts < b.firstTs) r.open
+             else if (r.ts == b.firstTs) math.min(r.open, b.open) else b.open,
       high = math.max(b.high, r.high),
       low = math.min(b.low, r.low),
       lastTs = math.max(b.lastTs, r.ts),
-      close = if (r.ts > b.lastTs) r.close else b.close,
+      close = if (r.ts > b.lastTs) r.close
+              else if (r.ts == b.lastTs) math.min(r.close, b.close) else b.close,
       // NaN/Inf skipped, matching the resample path (decimal cast of
       // NaN → null → sum skips); BigDecimal(NaN) would throw
       volume = if (r.volume.isNaN || r.volume.isInfinite) b.volume
@@ -47,11 +54,13 @@ object CandleAggregator {
 
     def merge(a: Buf, b: Buf): Buf = Buf(
       firstTs = math.min(a.firstTs, b.firstTs),
-      open = if (b.firstTs < a.firstTs) b.open else a.open,
+      open = if (b.firstTs < a.firstTs) b.open
+             else if (b.firstTs == a.firstTs) math.min(a.open, b.open) else a.open,
       high = math.max(a.high, b.high),
       low = math.min(a.low, b.low),
       lastTs = math.max(a.lastTs, b.lastTs),
-      close = if (b.lastTs > a.lastTs) b.close else a.close,
+      close = if (b.lastTs > a.lastTs) b.close
+              else if (b.lastTs == a.lastTs) math.min(a.close, b.close) else a.close,
       volume = a.volume + b.volume,
       n = a.n + b.n)
 

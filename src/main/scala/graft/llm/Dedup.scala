@@ -89,6 +89,11 @@ object Dedup {
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // 4 byte-bands are pigeonhole-complete ONLY for radius ≤ 3: with 4+
+    // differing bits every band can differ and the candidate set silently
+    // loses pairs — refuse rather than under-report
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: 4 byte-bands are exact only for maxHamming <= 3, got $maxHamming")
     // tiny (id + 1 long) and feeds a self-join → materialize once
     val fp = simhash(docs, idCol, textCol).localCheckpoint(true)
     val banded = fp.select(col("doc_id"), col("simhash"),

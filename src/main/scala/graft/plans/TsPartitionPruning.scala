@@ -107,8 +107,12 @@ object TsPartitionPruning extends Rule[LogicalPlan] {
     }
 }
 
-/** `spark.sql.extensions` entry point registering graft's rules. */
+/** `spark.sql.extensions` entry point registering graft's optimizer
+  * rules AND its SQL function surface (the fused codegen kernels).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TsPartitionPruning)
+    graft.functions.SqlFunctions.register(ext)
+  }
 }

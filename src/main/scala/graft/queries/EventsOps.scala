@@ -229,7 +229,47 @@ object EventsOps {
       .orderBy("event_id")
   }
 
+  /** Tick-bar aggregation (S3 [EXT]): events projected to an open tick
+    * shape (ts, side, price, qty) — the same schema `ingestTicksCsv`
+    * lands — rolled into hourly bars with VWAP. Exact DECIMAL notional;
+    * vwap is one double division of identical exact operands on both
+    * engines (hash-stable).
+    */
+  val tickBars: Q = Q(
+    "q51_tick_bars",
+    """WITH ticks AS (
+      |  SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bar_ms,
+      |         event_type AS side, value AS price,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+      |  FROM events)
+      |SELECT bar_ms, side, COUNT(*) AS n_ticks,
+      |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2)) * qty) AS DOUBLE) AS notional,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2)) * qty) AS DOUBLE)
+      |    / CAST(SUM(qty) AS DOUBLE) AS vwap,
+      |  MIN(price) AS low, MAX(price) AS high
+      |FROM ticks
+      |WHERE qty IS NOT NULL
+      |GROUP BY bar_ms, side
+      |ORDER BY bar_ms, side""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("t", timestamp_micros(Tables.nsToUs("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("qty").isNotNull)
+      .groupBy(unix_millis(date_trunc("hour", col("t"))).as("bar_ms"),
+        col("event_type").as("side"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("qty")).as("qty_sum"),
+        sum(dec(col("value")) * col("qty")).cast("double").as("notional"),
+        // try_divide: an all-zero-qty bar yields NULL vwap, matching
+        // DuckDB's divide-by-zero semantics (ANSI Spark would throw)
+        try_divide(sum(dec(col("value")) * col("qty")).cast("double"),
+          sum(col("qty")).cast("double")).as("vwap"),
+        min(col("value")).as("low"), max(col("value")).as("high"))
+      .orderBy("bar_ms", "side")
+  }
+
   val all: Seq[Q] = Seq(
     resampleOhlcv, gapDetect, modeInterval, keepLast, jsonExtract,
-    slidingWindow, timeFunctions, upsertMerge)
+    slidingWindow, timeFunctions, upsertMerge, tickBars)
 }

@@ -35,6 +35,16 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("time_to") == 5000L)
   }
 
+  test("same path twice in ONE batch: deterministic last-wins (no _seq tie)") {
+    val cat = new ManifestCatalog(spark, tmpDir("cat"))
+    cat.addEntries(Seq(entry("p1", to = 2000L), entry("p2", to = 100L),
+      entry("p1", to = 7000L)))
+    val rows = cat.listEntries().collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getAs[String]("path") == "p1").get.getAs[Long]("time_to") == 7000L,
+      "later batch entry for the same path must win deterministically")
+  }
+
   test("maxTimeTo watermark (A4/T1)") {
     val cat = new ManifestCatalog(spark, tmpDir("cat"))
     cat.addEntries(Seq(entry("p1", to = 2000L), entry("p2", to = 9000L), entry("p3", to = 500L)))

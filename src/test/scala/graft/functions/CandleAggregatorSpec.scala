@@ -37,6 +37,24 @@ class CandleAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("duplicate-ts open/close tie-break is partition-independent (min wins)") {
+    import spark.implicits._
+    // two rows at the bucket's first ts and two at its last ts
+    val rows = Seq(
+      (0L, 10.0, 11.0, 9.0, 10.5, 1.0), (0L, 20.0, 21.0, 19.0, 20.5, 1.0),
+      (1L, 15.0, 16.0, 14.0, 15.5, 1.0),
+      (2L, 30.0, 31.0, 29.0, 30.5, 1.0), (2L, 5.0, 6.0, 4.0, 5.5, 1.0))
+    def run(shuffle: Int) = rows.toDF("ts", "open", "high", "low", "close", "volume")
+      .repartition(shuffle)
+      .groupBy(lit(0).as("bucket"))
+      .agg(CandleAggregator.udaf(col("ts"), col("open"), col("high"), col("low"),
+        col("close"), col("volume")).as("c"))
+      .select("c.open", "c.close").head()
+    val results = Seq(run(1), run(3), run(5))
+    assert(results.distinct.size == 1, s"tie-break depends on partitioning: $results")
+    assert(results.head.getDouble(0) == 10.0 && results.head.getDouble(1) == 5.5)
+  }
+
   test("aggregator is deterministic under repartition (merge-order free)") {
     import spark.implicits._
     val df = candleDf(genCandles(200))

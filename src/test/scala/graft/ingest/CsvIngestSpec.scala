@@ -30,6 +30,38 @@ class CsvIngestSpec extends SparkSpec {
     assert(entries(0).getAs[String]("metadata_json").contains("\"timeframe\": \"1m\""))
   }
 
+  test("tick CSV: open schema preserved, ts required, catalog type=ticks (pipeline.py:85-136)") {
+    val (ing, reader, cat, root) = mk()
+    // open tick schema: extra columns beyond any candle shape
+    val f = java.nio.file.Files.createTempFile("ticks", ".csv")
+    val rows = "ts,price,qty,side,venue" +: (0 until 50).map(i =>
+      s"${1672531200000L + i * 250L},${100.0 + i},${1 + i % 5},${if (i % 2 == 0) "buy" else "sell"},fix")
+    java.nio.file.Files.write(f, rows.mkString("\n").getBytes)
+    val rep = ing.ingestTicksCsv(f.toString, "EX", "SPOT", "SYM")
+    assert(rep.rows == 50 && rep.monotonic)
+
+    val got = reader.readRange("EX", "SYM", "ticks", 0L, Long.MaxValue)
+    assert(got.count() == 50)
+    // every extra column round-trips through the lake
+    assert(Seq("ts", "price", "qty", "side", "venue").forall(got.columns.contains))
+    assert(got.filter(org.apache.spark.sql.functions.col("side") === "buy").count() == 25)
+
+    val entries = cat.listEntries(symbol = Some("SYM")).collect()
+    assert(entries.length == 1 && entries(0).getAs[String]("type") == "ticks")
+    assert(entries(0).getAs[String]("metadata_json").contains("tick"))
+
+    // ts is mandatory on the open schema
+    val bad = java.nio.file.Files.createTempFile("bad", ".csv")
+    java.nio.file.Files.write(bad, "time,price\n1,2".getBytes)
+    intercept[IllegalArgumentException] {
+      ing.ingestTicksCsv(bad.toString, "EX", "SPOT", "SYM2")
+    }
+
+    // and the CLI exposes the same path
+    graft.cli.Main.run(spark, Array(root, "ingest-ticks", f.toString, "EX", "SPOT", "SYM3"))
+    assert(reader.readRange("EX", "SYM3", "ticks", 0L, Long.MaxValue).count() == 50)
+  }
+
   test("headerless 6-column CSV falls back to canonical names (pipeline.py:52-65)") {
     val (ing, reader, _, _) = mk()
     val rep = ing.ingestCsv(writeCsv(genCandles(10), header = false), "EX", "SPOT", "SYM")

@@ -39,6 +39,13 @@ class LlmSpec extends SparkSpec {
     assert(ham(fps(1L), fps(3L)) > 6)
   }
 
+  test("simhashPairs refuses radii the 4-band scheme cannot cover exactly") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs((1L, "a b c"), (2L, "a b d")), maxHamming = 4)
+    }
+    assert(ex.getMessage.contains("maxHamming"))
+  }
+
   test("rolling fingerprint is order-sensitive") {
     val fps = Dedup.fingerprints(docs((1L, "a b c"), (2L, "c b a"), (3L, "a b c")))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
