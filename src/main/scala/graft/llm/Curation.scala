@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.TextShingles
+
+/** Training-corpus curation operators beyond the reference's surface:
+  * benchmark decontamination, deterministic stratified sampling (data
+  * mixing), and within-document repetition signals (the classic
+  * published quality heuristics: duplicate-n-gram and top-token
+  * ratios). All pure built-ins over md5-derived hashes, so each has a
+  * bit-exact DuckDB oracle (q52–q54).
+  */
+object Curation {
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram with the benchmark set, with the count of distinct
+    * overlapping grams — the standard eval-overlap hygiene check run
+    * before training.
+    *
+    * Scale shape: the benchmark side is DISTINCT n-gram hashes (eval
+    * sets are tiny vs the corpus) and is broadcast; the corpus side is
+    * a map-only shingle explode followed by a partial-aggregated count
+    * keyed by doc_id. The corpus never shuffles its text — only
+    * (doc_id, hit) pairs after the broadcast join filter.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) =
+      TextHash.shingleHashes(TextShingles.wordShingles(col(textCol), n))
+    val benchGrams = benchmark.select(explode(grams(benchmark)).as("gram")).distinct()
+    corpus
+      .select(col(idCol).as("doc_id"), explode(grams(corpus)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      // wordShingles is per-doc distinct, so this counts DISTINCT
+      // overlapping grams without a count-distinct shuffle
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Deterministic stratified sampling (data mixing): keep a row iff
+    * md5(id) mod 10^6 falls below the stratum's integer threshold —
+    * reproducible across runs/engines/partitionings, no RNG state, and
+    * exactly the published hash-mod sampling recipe. Thresholds are
+    * per-million (0.25 ⇒ 250000L) so the comparison is integer-exact.
+    *
+    * Scale shape: map-only filter; composes with any downstream plan.
+    */
+  val SampleDomain: Long = 1000000L
+
+  def stratifiedSample(df: DataFrame, thresholdsPerMillion: Map[String, Long],
+                       defaultPerMillion: Long, stratumCol: String = "source",
+                       idCol: String = "doc_id"): DataFrame = {
+    val key = pmod(TextHash.md5Long(col(idCol).cast("string")), lit(SampleDomain))
+    val thr = thresholdsPerMillion.foldLeft(lit(defaultPerMillion)) {
+      case (acc, (s, t)) => when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(key < thr)
+  }
+
+  /** Within-document repetition signals (published quality-filter
+    * heuristics): duplicate-bigram ratio (1 − distinct/total bigrams)
+    * and top-token frequency ratio, plus a pass flag at the
+    * conventional thresholds. High values mean boilerplate/spam-like
+    * repetition.
+    *
+    * Scale shape: the bigram side is per-row expressions (map-only);
+    * the top-token count shuffles (doc_id, token) once then reduces to
+    * doc_id — both aggs are partial+final. The join back to the base
+    * stats is co-partitioned on doc_id.
+    */
+  def repetitionStats(docs: DataFrame, maxDupBigram: Double = 0.2,
+                      maxTopToken: Double = 0.1, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      greatest(size(toks).cast("long") - 1L, lit(0L)).as("n_bigrams"),
+      size(TextShingles.wordShingles(col(textCol), 2)).cast("long")
+        .as("n_distinct_bigrams"))
+
+    val topTok = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_token_count"))
+
+    base.join(topTok, Seq("doc_id"))
+      .withColumn("dup_bigram_ratio",
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams").cast("double")).otherwise(lit(0.0)))
+      .withColumn("top_token_ratio",
+        col("top_token_count").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("pass",
+        col("dup_bigram_ratio") <= maxDupBigram &&
+          col("top_token_ratio") <= maxTopToken)
+  }
+
+  // ---- DuckDB oracle fragments (same constants, same arithmetic) ----
+
+  /** DuckDB: the full contamination pipeline (constants must match). */
+  def duckContamination(n: Int, benchPred: String): String = {
+    val grams = TextHash.duckShingleHashes(n)
+    s"""WITH bench AS (
+       |  SELECT DISTINCT UNNEST($grams) AS gram FROM documents WHERE $benchPred),
+       |corpus AS (
+       |  SELECT doc_id, UNNEST($grams) AS gram FROM documents WHERE NOT ($benchPred))
+       |SELECT c.doc_id, COUNT(*) AS n_hit_grams
+       |FROM corpus c JOIN bench b USING (gram)
+       |GROUP BY c.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB: the stratified-sample keep predicate. */
+  def duckSampleKeep(thresholdsPerMillion: Map[String, Long],
+                     defaultPerMillion: Long): String = {
+    val key = s"(${TextHash.duckMd5Long("doc_id::VARCHAR")} % $SampleDomain)"
+    val cases = thresholdsPerMillion.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"WHEN source = '$s' THEN ${t}" }.mkString(" ")
+    s"$key < (CASE $cases ELSE $defaultPerMillion END)"
+  }
+}

@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("contamination flags docs sharing n-grams with the benchmark, counts distinct grams") {
+    val bench = docs((100L, "alpha beta gamma delta"))
+    val corpus = docs(
+      (1L, "zzz alpha beta gamma yyy"),   // shares 'alpha beta gamma'
+      (2L, "alpha beta gamma delta qqq"), // shares 2 grams
+      (3L, "totally unrelated words here"))
+    val out = Curation.contamination(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("stratified sample: deterministic under repartition, rate ~ threshold") {
+    import spark.implicits._
+    val df = (0 until 4).flatMap(s => (0 until 500).map(i =>
+      (s.toLong * 1000 + i, s"src$s"))).toDF("doc_id", "source")
+    val thr = Map("src0" -> 1000000L, "src1" -> 500000L)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(d, thr, defaultPerMillion = 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    assert(a == ids(df.repartition(7)), "sample set depends on partitioning")
+    assert(a.count(_ < 1000) == 500, "src0 at threshold 10^6 must keep everything")
+    val src1 = a.count(id => id >= 1000 && id < 2000)
+    // expect ≈ 250 of 500 at rate 0.5 (binomial sd ≈ 11; ±5 sd bounds)
+    assert(src1 > 195 && src1 < 305, s"src1 at 0.5 kept $src1 of 500")
+    assert(!a.exists(_ >= 2000), "default threshold 0 must drop src2/src3")
+  }
+
+  test("repetition stats: boilerplate fails, varied text passes") {
+    val out = Curation.repetitionStats(docs(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over one lazy dog today")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_bigram_ratio"), r.getAs[Double]("top_token_ratio"),
+          r.getAs[Boolean]("pass"))).toMap
+    val (dup1, top1, pass1) = out(1L)
+    assert(dup1 > 0.7 && top1 >= 0.5 && !pass1, s"repetitive doc: $dup1 $top1")
+    val (dup2, top2, pass2) = out(2L)
+    assert(dup2 == 0.0 && top2 == 0.1 && pass2, s"varied doc: $dup2 $top2")
+  }
+}
