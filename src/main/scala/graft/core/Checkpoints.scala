@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation policy for the engine's iterative/self-joining
+  * pipelines (merge-write reads-then-overwrites, LSH index reuse, Lloyd
+  * rounds, label propagation).
+  *
+  * Default is `localCheckpoint(eager)`: executor-memory/disk resident,
+  * zero configuration, right for interactive and single-node use. For
+  * long cluster jobs where executor loss must not kill the lineage, set
+  * `spark.graft.checkpointDir` on the session — every call then becomes
+  * a RELIABLE `checkpoint(eager)` persisted to that (HDFS/S3) path, the
+  * durable form at real scale. One switch, no call-site changes.
+  */
+object Checkpoints {
+
+  val DirConf = "spark.graft.checkpointDir"
+
+  def stable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        // idempotent: setCheckpointDir is cheap and the dir may change
+        // between calls in tests
+        spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+  }
+}

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.queries.TextShingles
+import scala.util.chaining._
 
 /** Near-duplicate detection for training-data pipelines (SURVEY §2.10
   * [EXT], BASELINE north star). All plans are banding-join shaped: no
@@ -49,7 +50,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHash64(col(textCol), shingleLen).as("hs"))
       .filter(size(col("hs")) > 0)
-      .localCheckpoint(true)
+      .pipe(graft.core.Checkpoints.stable)
 
     // Band rows carry ONLY (band, key, id); materialized so the self-
     // join below doesn't run the 16-perm signature build once per side.
@@ -58,7 +59,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(TextHash.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))
-      .localCheckpoint(true)
+      .pipe(graft.core.Checkpoints.stable)
 
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("key"))
@@ -95,7 +96,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairs: 4 byte-bands are exact only for maxHamming <= 3, got $maxHamming")
     // tiny (id + 1 long) and feeds a self-join → materialize once
-    val fp = simhash(docs, idCol, textCol).localCheckpoint(true)
+    val fp = simhash(docs, idCol, textCol).pipe(graft.core.Checkpoints.stable)
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 8) % 256): _*)).as(Seq("band", "key")))
@@ -118,4 +119,63 @@ object Dedup {
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       TextHash.rollingFingerprint(split(col(textCol), " ")).as("fingerprint"))
+
+  /** Near-dup CLUSTERS from a candidate pair set — the step that turns
+    * pairwise similarity into a dedup decision: connected components by
+    * synchronous min-label propagation, `rounds` fixed iterations
+    * (label(x) ← min(label(x), min over neighbors)), then cluster id =
+    * component-min doc id and `is_canonical` marks the kept document.
+    *
+    * Determinism: synchronous rounds make the result independent of
+    * execution order, and a FIXED round count makes it bit-identical to
+    * the generated DuckDB oracle even if a pathological long chain has
+    * not fully converged (both engines stop at the same state). Near-dup
+    * components are overwhelmingly small (dup families, not webs), so
+    * the default covers diameter 2^6-ish chains; at planetary scale the
+    * large-star/small-star variant replaces this loop, same contract.
+    *
+    * Scale shape: edges ≪ corpus (LSH already pruned); each round is one
+    * shuffle keyed by doc id over (id,label)+(edge,label) unions;
+    * lineage is truncated per round so the plan stays flat.
+    */
+  def nearDupClusters(pairs: DataFrame, rounds: Int = 6,
+                      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .pipe(graft.core.Checkpoints.stable)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 0 until rounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("y"), col("label")), Seq("y"))
+        .select(col("x").as("id"), col("label"))
+      labels = labels.select("id", "label").union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .pipe(graft.core.Checkpoints.stable)
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** DuckDB: `rounds` synchronous min-label propagation iterations over
+    * an `edges(doc_a, doc_b)` CTE — identical arithmetic to
+    * [[nearDupClusters]]. Returns the chained CTE text ending in a
+    * relation `lN(id, label)`.
+    */
+  def duckClusterCtes(rounds: Int): String = {
+    val base =
+      """edgesu AS (
+        |  SELECT doc_a AS x, doc_b AS y FROM edges
+        |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+        |l0 AS (SELECT DISTINCT x AS id, x AS label FROM edgesu)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT id, MIN(label) AS label FROM (
+         |    SELECT id, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.x AS id, l.label FROM edgesu e JOIN l${i - 1} l ON l.id = e.y)
+         |  GROUP BY id)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.{fdot, fnorm}
+import scala.util.chaining._
 
 /** IVF (inverted-file) approximate nearest neighbor over
   * `embedding: array<float>` — the coarse-quantizer scale path
@@ -85,7 +86,7 @@ object IvfSearch {
     var centroids = corpus
       .groupBy(pmod(idHash(idCol), lit(k.toLong)).cast("int").as("cluster"))
       .agg(min_by(col(embCol), col(idCol)).as("centroid"))
-      .localCheckpoint(true)
+      .pipe(graft.core.Checkpoints.stable)
 
     for (_ <- 0 until iters) {
       val assigned = assign(corpus.select(col(idCol), col(embCol)), centroids, embCol)
@@ -101,7 +102,7 @@ object IvfSearch {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint(true)
+        .pipe(graft.core.Checkpoints.stable)
     }
     centroids
   }

@@ -13,13 +13,12 @@ import graft.llm.{Dedup, SimilaritySearch, TextHash}
   */
 object LlmOps {
 
-  /** MinHash-LSH candidate pairs with exact-Jaccard verification
-    * (16 perms, 8 bands × 2 rows). The oracle replays the identical
-    * signature arithmetic in DuckDB.
+  /** The shared q36 pipeline CTEs (shingle-hash sets → signatures →
+    * banding → verified pairs) — also the edge source for q55's
+    * clustering oracle.
     */
-  val minhashLsh: Q = Q(
-    "q36_minhash_lsh",
-    s"""WITH sh AS (
+  private val duckLshCtes: String =
+    s"""sh AS (
        |  SELECT doc_id, ${TextHash.duckShingleHashes(3)} AS hs
        |  FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
@@ -37,7 +36,15 @@ object LlmOps {
        |  SELECT doc_a, doc_b,
        |    len(list_intersect(sa.hs, sb.hs)) * 1.0 /
        |      len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
-       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
+       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification
+    * (16 perms, 8 bands × 2 rows). The oracle replays the identical
+    * signature arithmetic in DuckDB.
+    */
+  val minhashLsh: Q = Q(
+    "q36_minhash_lsh",
+    s"""WITH $duckLshCtes
        |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
        |FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
@@ -136,7 +143,26 @@ object LlmOps {
       .orderBy("bucket")
   }
 
+  /** Near-dup clustering (the dedup DECISION step): LSH pairs at
+    * jaccard ≥ 0.5 → connected components by 6 fixed min-label
+    * propagation rounds → canonical doc per cluster. The fixed round
+    * count makes Spark and the generated DuckDB CTE chain bit-identical
+    * even on a not-yet-converged pathological chain.
+    */
+  val nearDupClusters: Q = Q(
+    "q55_neardup_clusters",
+    s"""WITH $duckLshCtes,
+       |edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+       |${Dedup.duckClusterCtes(6)}
+       |SELECT id AS doc_id, label AS cluster, (id = label) AS is_canonical
+       |FROM l6
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.minhashLsh(Tables.documents(s, d))
+      .filter(col("jaccard") >= 0.5)
+    Dedup.nearDupClusters(pairs, rounds = 6).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     minhashLsh, simhashFp, docFingerprint, multimodalMeta,
-    embeddingNearDup, lshBuckets)
+    embeddingNearDup, lshBuckets, nearDupClusters)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Symbols
+import scala.util.chaining._
 
 /** Series coordinates — the reference's partition tuple
   * (`dl-datalake/src/dl_datalake/storage/writer.py:35-46`).
@@ -83,7 +84,7 @@ final class LakeWriter(spark: SparkSession, root: String) {
         // the very directories this scan reads, which Spark (correctly)
         // refuses inside one plan.
         Some(withPartitionCols(cur, k).filter(monthPred).withColumn("_batch", lit(0))
-          .localCheckpoint(true))
+          .pipe(graft.core.Checkpoints.stable))
       case None => None
     }
 

@@ -39,6 +39,17 @@ class LlmSpec extends SparkSpec {
     assert(ham(fps(1L), fps(3L)) > 6)
   }
 
+  test("nearDupClusters: transitive chains merge, components stay separate, min id is canonical") {
+    import spark.implicits._
+    // component {1,2,3,4} via a chain; component {10,11}; 4 rounds cover diameter 3
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs, rounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false)))
+  }
+
   test("simhashPairs refuses radii the 4-band scheme cannot cover exactly") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs((1L, "a b c"), (2L, "a b d")), maxHamming = 4)
