@@ -111,5 +111,49 @@ object Embeddings {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(vectorStats, cosineTopK, centroidAgg)
+  /** Int8 max-abs quantization ([EXT] storage compression for embedding
+    * corpora — 4× smaller than float32 at negligible recall cost):
+    * per-vector scale = 127/max|v|, element q = floor(v·scale + 0.5)
+    * (round-half-up, exact in both engines), plus reconstruction-error
+    * stats. Map-only per-row arithmetic — composes with any downstream
+    * ANN plan; at 100 TB this is the write-side transform before the
+    * cluster-partitioned index lands.
+    */
+  val quantize: Q = Q(
+    "q56_embedding_quantize",
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS max_abs
+      |  FROM embeddings WHERE vec_id < 100),
+      |s AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN max_abs > 0 THEN CAST(127 AS DOUBLE) / max_abs
+      |         ELSE CAST(1 AS DOUBLE) END AS scale
+      |  FROM m)
+      |SELECT vec_id, scale,
+      |  CAST(list_aggregate(list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)), 'sum')
+      |    AS BIGINT) AS q_sum,
+      |  list_aggregate(list_transform(embedding,
+      |    x -> abs(CAST(x AS DOUBLE) -
+      |         FLOOR(CAST(x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE)) / scale)), 'max')
+      |    AS max_err
+      |FROM s
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      .withColumn("max_abs", aggregate(col("embedding"), lit(0.0),
+        (acc, v) => greatest(acc, abs(v.cast("double")))))
+      .withColumn("scale", when(col("max_abs") > 0, lit(127.0) / col("max_abs"))
+        .otherwise(lit(1.0)))
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, v) => acc + floor(v.cast("double") * col("scale") + 0.5)).as("q_sum"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, v) => greatest(acc, abs(v.cast("double") -
+            floor(v.cast("double") * col("scale") + 0.5) / col("scale")))).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(vectorStats, cosineTopK, centroidAgg, quantize)
 }
