@@ -104,11 +104,16 @@ object Dedup {
       col("band"), col("key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"),
       col("band"), col("key"))
+    // hamming filter BEFORE the distinct: it's per-row xor+popcount on
+    // columns already present in the join output, so evaluating it
+    // map-side cuts the candidate stream (∝ bucket² fan-out) to only
+    // true near-dups before the dropDuplicates shuffle — same result,
+    // one shuffle over a tiny stream instead of the full candidate set
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", TextHash.hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
   }
 

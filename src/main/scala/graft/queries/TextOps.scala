@@ -163,7 +163,11 @@ object TextOps {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash64(col("text"), 3)).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // |shingle set| = array size (the kernel already dedups): map-only,
+    // instead of re-running the kernel + an explode + a groupBy shuffle
+    val sizes = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.ShingleHash64(col("text"), 3)).cast("long").as("n"))
     val pairs = sh
       .groupBy(col("shingle")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

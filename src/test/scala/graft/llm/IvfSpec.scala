@@ -19,6 +19,28 @@ class IvfSpec extends SparkSpec {
     assert(index.select("cluster").distinct().count() <= 8)
   }
 
+  test("cluster-partitioned index write: a probe's scan prunes to its cluster dirs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val centroids = IvfSearch.trainCentroids(emb, k = 8, iters = 1)
+    val root = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfSearch.buildIndex(emb, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(root)
+    val nClusters = spark.read.parquet(root)
+      .select("cluster").distinct().count()
+    // probing 2 clusters opens only those partition directories
+    val probed = spark.read.parquet(root).filter(col("cluster").isin(0, 1))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val files = scan.metrics("numFiles").value
+    val total = spark.read.parquet(root).inputFiles.length
+    assert(files < total,
+      s"cluster probe scanned all $total files (pruning broken)")
+    assert(nClusters >= 2 && files <= total * 2 / nClusters + 2,
+      s"probe of 2/$nClusters clusters opened $files of $total files")
+  }
+
   test("IVF ANN recall vs brute force; probes scan only a corpus fraction") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
     val queries = emb.filter(col("vec_id") < 10)
