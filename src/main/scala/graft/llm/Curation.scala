@@ -26,8 +26,10 @@ object Curation {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) =
-      TextHash.shingleHashes(TextShingles.wordShingles(col(textCol), n))
+    // fused kernel ≡ shingleHashes(wordShingles(text, n)) (cross-checked
+    // in FusedKernelSpec) — one per-row loop instead of five nested
+    // higher-order string expressions; same values, same oracle
+    def grams(df: DataFrame) = graft.functions.ShingleHash64(col(textCol), n)
     val benchGrams = benchmark.select(explode(grams(benchmark)).as("gram")).distinct()
     corpus
       .select(col(idCol).as("doc_id"), explode(grams(corpus)).as("gram"))
