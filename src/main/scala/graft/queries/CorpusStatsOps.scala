@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.Dedup
+
+/** Corpus-analysis operators a training-data pipeline runs before and
+  * after curation: exact length-distribution percentiles per stratum,
+  * corpus vocabulary with document frequencies, and the final dedup
+  * keep-decision (which document survives each near-dup cluster).
+  *
+  * Cross-engine determinism: every selection is integer arithmetic
+  * (row_number over a tie-free ordering, BIGINT counts); no float ever
+  * decides a row.
+  */
+object CorpusStatsOps {
+
+  /** Exact per-source token-count percentiles (p50/p90/p99) via
+    * row_number selection — not approx_percentile, whose sketch output
+    * is engine-specific.
+    *
+    * Scale shape: one map-side token count, then a per-source
+    * sort-shuffle for the window (distributed sort; no collect). At
+    * petabyte scale the same contract downgrades gracefully to
+    * approx_percentile — the exact form here is the oracle for that
+    * approximation.
+    */
+  val tokenPercentiles: Q = Q(
+    "q57_token_percentiles",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM t)
+      |SELECT source,
+      |  CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN n_tokens END) AS BIGINT) AS p50_tokens,
+      |  CAST(MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN n_tokens END) AS BIGINT) AS p90_tokens,
+      |  CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN n_tokens END) AS BIGINT) AS p99_tokens
+      |FROM r
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source")
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(col("n") * lit(p)).cast("long"), col("n_tokens")))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        pick(0.50).as("p50_tokens"),
+        pick(0.90).as("p90_tokens"),
+        pick(0.99).as("p99_tokens"))
+      .orderBy("source")
+  }
+
+  /** Corpus vocabulary: top-100 tokens by total frequency with document
+    * frequency, min-df filtered — the input stats for vocab/BPE
+    * construction and stopword discovery.
+    *
+    * Scale shape: explode once, then TWO stacked hash aggregations —
+    * (token, doc_id) then (token) — instead of count(DISTINCT doc_id),
+    * so both stages keep map-side partial aggregation and the hot-token
+    * skew (stopwords appear in every doc) is absorbed by the partials
+    * rather than shipped to one reducer. Ordering is tie-free
+    * (freq DESC, token ASC).
+    */
+  val vocabTopK: Q = Q(
+    "q58_vocab_topk",
+    """WITH td AS (
+      |  SELECT tok, doc_id, COUNT(*) AS c FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok, doc_id),
+      |v AS (
+      |  SELECT tok, CAST(SUM(c) AS BIGINT) AS freq,
+      |         CAST(COUNT(*) AS BIGINT) AS doc_freq
+      |  FROM td GROUP BY tok)
+      |SELECT tok, freq, doc_freq FROM v
+      |WHERE doc_freq >= 5
+      |ORDER BY freq DESC, tok
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("tok")
+      .agg(sum(col("c")).cast("long").as("freq"),
+        count(lit(1)).cast("long").as("doc_freq"))
+      .filter(col("doc_freq") >= 5)
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(100)
+  }
+
+  /** The dedup KEEP decision, end to end: near-dup clusters (q55's
+    * pipeline) joined back to the corpus, keeping the longest document
+    * per cluster (ties to the smallest doc_id) — the standard
+    * "keep the most complete copy" policy, integer-deterministic.
+    *
+    * Scale shape: clusters ≪ corpus (only docs with an LSH edge);
+    * the token-count join and the per-cluster window both shuffle on
+    * ids, never on text.
+    */
+  val clusterKeep: Q = Q(
+    "q59_cluster_keep",
+    s"""WITH ${LlmOps.duckLshCtes},
+       |edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+       |${Dedup.duckClusterCtes(6)},
+       |toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT l6.label AS cluster, l6.id AS doc_id, t.n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY l6.label
+       |                       ORDER BY t.n_tokens DESC, l6.id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l6.label) AS n_members
+       |  FROM l6 JOIN toks t ON l6.id = t.doc_id)
+       |SELECT cluster, doc_id AS kept_doc, n_tokens AS kept_tokens,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.5)
+    val clusters = Dedup.nearDupClusters(pairs, rounds = 6)
+      .select(col("doc_id"), col("cluster"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("cluster")
+    clusters.join(toks, Seq("doc_id"))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("n_tokens").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc"),
+        col("n_tokens").as("kept_tokens"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(tokenPercentiles, vocabTopK, clusterKeep)
+}

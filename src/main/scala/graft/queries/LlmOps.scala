@@ -17,7 +17,7 @@ object LlmOps {
     * banding → verified pairs) — also the edge source for q55's
     * clustering oracle.
     */
-  private val duckLshCtes: String =
+  private[queries] val duckLshCtes: String =
     s"""sh AS (
        |  SELECT doc_id, ${TextHash.duckShingleHashes(3)} AS hs
        |  FROM documents

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec}
+
+/** Value and plan-shape checks for the corpus-analysis operators
+  * (q57–q59). The oracle hash-compare is the hard gate; these pin the
+  * invariants that survive data changes and the scale claims in the
+  * docstrings.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q57 percentiles: ordered p50 <= p90 <= p99, n_docs sums to corpus") {
+    val df = SparkEntry.queries("q57_token_percentiles")(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles out of order: $r")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(total == corpus, s"per-source n_docs $total != corpus $corpus")
+  }
+
+  test("q58 vocab: doc_freq <= freq, min-df respected, tie-free descending order") {
+    val rows = SparkEntry.queries("q58_vocab_topk")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"doc_freq > freq: $r")
+      assert(r.getLong(2) >= 5, s"min-df violated: $r")
+    }
+    val order = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(order.sameElements(order.sorted), "not ordered by (freq desc, tok)")
+  }
+
+  test("q58 plan: stacked hash aggs with partials, no expand/count-distinct shuffle") {
+    val p = SparkEntry.queries("q58_vocab_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial"), "missing map-side partial aggregation")
+    assert(!p.contains("Expand"), "count-distinct expand would triple the shuffle")
+  }
+
+  test("q59 keep decision: one kept doc per cluster, kept is longest, members >= 2") {
+    val kept = SparkEntry.queries("q59_cluster_keep")(spark, sf).cache()
+    assert(kept.select("cluster").distinct().count() == kept.count())
+    // every kept doc's token count is the max in its cluster: re-derive
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = graft.llm.Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.5)
+    val clusters = graft.llm.Dedup.nearDupClusters(pairs, rounds = 6)
+    val maxTok = clusters
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .groupBy("cluster").agg(max("n_tokens").as("max_tokens"),
+        count(lit(1)).as("n"))
+    val joined = kept.join(maxTok, Seq("cluster")).cache()
+    assert(joined.filter(col("kept_tokens") =!= col("max_tokens")).count() == 0)
+    assert(joined.filter(col("n_members") =!= col("n")).count() == 0)
+    assert(kept.filter(col("n_members") < 2).count() == 0,
+      "every doc in the edge set has a neighbor, so clusters have >= 2 members")
+  }
+
+  test("q57 plan: no join; q59 plan: text never enters the window shuffle") {
+    val p57 = SparkEntry.queries("q57_token_percentiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p57.contains("Join"), "percentile selection must not join")
+    val q59 = SparkEntry.queries("q59_cluster_keep")(spark, sf)
+    // logical plan: AQE hides WindowExec until execution
+    val windows = q59.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("text"),
+        "document text must be projected away before the cluster window")
+    }
+  }
+}
