@@ -73,6 +73,11 @@ object TextAnalysis {
   def qualityGate(docs: DataFrame, textCol: String = "text"): DataFrame =
     qualityFeatures(docs, textCol)
       .withColumn("keep",
-        col("n_tokens") >= 5 && col("mean_token_len").between(2.0, 12.0) &&
-          col("punct_ratio") <= 0.2)
+        // null text ⇒ null features ⇒ null condition: force an explicit
+        // reject so BOTH filter(keep) and filter(!keep) see the row —
+        // a null flag silently drops it from either branch
+        coalesce(
+          col("n_tokens") >= 5 && col("mean_token_len").between(2.0, 12.0) &&
+            col("punct_ratio") <= 0.2,
+          lit(false)))
 }
