@@ -131,19 +131,26 @@ object Dedup {
     * (label(x) ← min(label(x), min over neighbors)), then cluster id =
     * component-min doc id and `is_canonical` marks the kept document.
     *
-    * Determinism: synchronous rounds make the result independent of
-    * execution order, and a FIXED round count makes it bit-identical to
-    * the generated DuckDB oracle even if a pathological long chain has
-    * not fully converged (both engines stop at the same state). Near-dup
-    * components are overwhelmingly small (dup families, not webs), so
-    * the default covers diameter 2^6-ish chains; at planetary scale the
-    * large-star/small-star variant replaces this loop, same contract.
+    * Each round takes the min over three label sources — own, neighbors',
+    * and the label OF the current label (pointer jumping) — so r rounds
+    * cover chains of length ~2^(r-1), not r: the log-diameter recipe of
+    * the published hash-to-min / large-star CC algorithms. The default 4
+    * rounds cover diameter-8 chains (plain propagation would need 8
+    * sequential rounds); near-dup components are overwhelmingly small
+    * (dup families, not webs), so this is headroom, not a limit.
+    *
+    * Determinism: rounds are synchronous (every term reads the PREVIOUS
+    * round's labels), so the result is independent of execution order,
+    * and a FIXED round count makes it bit-identical to the generated
+    * DuckDB oracle even if a pathological chain has not fully converged
+    * (both engines stop at the same state).
     *
     * Scale shape: edges ≪ corpus (LSH already pruned); each round is one
-    * shuffle keyed by doc id over (id,label)+(edge,label) unions;
-    * lineage is truncated per round so the plan stays flat.
+    * shuffle keyed by doc id over (id,label)+(edge,label)+(label,label)
+    * unions; the pointer-jump join is labels-with-labels (tiny both
+    * sides); lineage is truncated per round so the plan stays flat.
     */
-  def nearDupClusters(pairs: DataFrame, rounds: Int = 6,
+  def nearDupClusters(pairs: DataFrame, rounds: Int = 4,
                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
@@ -154,7 +161,13 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("y"), col("label")), Seq("y"))
         .select(col("x").as("id"), col("label"))
-      labels = labels.select("id", "label").union(viaNeighbor)
+      // pointer jump: label(x) <- label(label(x)); every label is a node
+      // id present in `labels`, so the join never drops rows
+      val viaPointer = labels.as("a")
+        .join(labels.select(col("id").as("lid"), col("label").as("plabel")).as("b"),
+          col("a.label") === col("b.lid"))
+        .select(col("a.id").as("id"), col("plabel").as("label"))
+      labels = labels.select("id", "label").union(viaNeighbor).union(viaPointer)
         .groupBy("id").agg(min("label").as("label"))
         .pipe(graft.core.Checkpoints.stable)
     }
@@ -162,10 +175,10 @@ object Dedup {
       (col("id") === col("label")).as("is_canonical"))
   }
 
-  /** DuckDB: `rounds` synchronous min-label propagation iterations over
-    * an `edges(doc_a, doc_b)` CTE — identical arithmetic to
-    * [[nearDupClusters]]. Returns the chained CTE text ending in a
-    * relation `lN(id, label)`.
+  /** DuckDB: `rounds` synchronous min-label + pointer-jump iterations
+    * over an `edges(doc_a, doc_b)` CTE — identical arithmetic to
+    * [[nearDupClusters]] (same three label sources per round). Returns
+    * the chained CTE text ending in a relation `lN(id, label)`.
     */
   def duckClusterCtes(rounds: Int): String = {
     val base =
@@ -178,7 +191,9 @@ object Dedup {
          |  SELECT id, MIN(label) AS label FROM (
          |    SELECT id, label FROM l${i - 1}
          |    UNION ALL
-         |    SELECT e.x AS id, l.label FROM edgesu e JOIN l${i - 1} l ON l.id = e.y)
+         |    SELECT e.x AS id, l.label FROM edgesu e JOIN l${i - 1} l ON l.id = e.y
+         |    UNION ALL
+         |    SELECT a.id, b.label FROM l${i - 1} a JOIN l${i - 1} b ON b.id = a.label)
          |  GROUP BY id)""".stripMargin
     }
     (base +: iters).mkString(",\n")

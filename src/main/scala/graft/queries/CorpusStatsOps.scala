@@ -111,23 +111,23 @@ object CorpusStatsOps {
     "q59_cluster_keep",
     s"""WITH ${LlmOps.duckLshCtes},
        |edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
-       |${Dedup.duckClusterCtes(6)},
+       |${Dedup.duckClusterCtes(4)},
        |toks AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |ranked AS (
-       |  SELECT l6.label AS cluster, l6.id AS doc_id, t.n_tokens,
-       |    ROW_NUMBER() OVER (PARTITION BY l6.label
-       |                       ORDER BY t.n_tokens DESC, l6.id) AS rn,
-       |    COUNT(*) OVER (PARTITION BY l6.label) AS n_members
-       |  FROM l6 JOIN toks t ON l6.id = t.doc_id)
+       |  SELECT l4.label AS cluster, l4.id AS doc_id, t.n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY l4.label
+       |                       ORDER BY t.n_tokens DESC, l4.id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l4.label) AS n_members
+       |  FROM l4 JOIN toks t ON l4.id = t.doc_id)
        |SELECT cluster, doc_id AS kept_doc, n_tokens AS kept_tokens,
        |  CAST(n_members AS BIGINT) AS n_members
        |FROM ranked WHERE rn = 1
        |ORDER BY cluster""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.5)
-    val clusters = Dedup.nearDupClusters(pairs, rounds = 6)
+    val clusters = Dedup.nearDupClusters(pairs, rounds = 4)
       .select(col("doc_id"), col("cluster"))
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))

@@ -144,22 +144,23 @@ object LlmOps {
   }
 
   /** Near-dup clustering (the dedup DECISION step): LSH pairs at
-    * jaccard ≥ 0.5 → connected components by 6 fixed min-label
-    * propagation rounds → canonical doc per cluster. The fixed round
-    * count makes Spark and the generated DuckDB CTE chain bit-identical
-    * even on a not-yet-converged pathological chain.
+    * jaccard ≥ 0.5 → connected components by 4 fixed min-label +
+    * pointer-jump rounds (covers diameter-8 chains) → canonical doc per
+    * cluster. The fixed round count makes Spark and the generated DuckDB
+    * CTE chain bit-identical even on a not-yet-converged pathological
+    * chain.
     */
   val nearDupClusters: Q = Q(
     "q55_neardup_clusters",
     s"""WITH $duckLshCtes,
        |edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
-       |${Dedup.duckClusterCtes(6)}
+       |${Dedup.duckClusterCtes(4)}
        |SELECT id AS doc_id, label AS cluster, (id = label) AS is_canonical
-       |FROM l6
+       |FROM l4
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pairs = Dedup.minhashLsh(Tables.documents(s, d))
       .filter(col("jaccard") >= 0.5)
-    Dedup.nearDupClusters(pairs, rounds = 6).orderBy("doc_id")
+    Dedup.nearDupClusters(pairs, rounds = 4).orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(

@@ -50,6 +50,16 @@ class LlmSpec extends SparkSpec {
       10L -> (10L, true), 11L -> (10L, false)))
   }
 
+  test("nearDupClusters pointer jumping: 4 rounds collapse a diameter-8 chain") {
+    import spark.implicits._
+    // path 1-2-...-9 (diameter 8): plain propagation needs 8 rounds,
+    // doubling covers ~2^(r-1) hops per r rounds
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs, rounds = 4)
+      .select("cluster").distinct().collect().map(_.getLong(0))
+    assert(out.sameElements(Array(1L)), s"chain not collapsed: ${out.mkString(",")}")
+  }
+
   test("simhashPairs refuses radii the 4-band scheme cannot cover exactly") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs((1L, "a b c"), (2L, "a b d")), maxHamming = 4)
