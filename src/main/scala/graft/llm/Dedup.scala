@@ -182,12 +182,12 @@ object Dedup {
     */
   def duckClusterCtes(rounds: Int): String = {
     val base =
-      """edgesu AS (
+      """edgesu AS MATERIALIZED (
         |  SELECT doc_a AS x, doc_b AS y FROM edges
         |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
-        |l0 AS (SELECT DISTINCT x AS id, x AS label FROM edgesu)""".stripMargin
+        |l0 AS MATERIALIZED (SELECT DISTINCT x AS id, x AS label FROM edgesu)""".stripMargin
     val iters = (1 to rounds).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT id, MIN(label) AS label FROM (
          |    SELECT id, label FROM l${i - 1}
          |    UNION ALL

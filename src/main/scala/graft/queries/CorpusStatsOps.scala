@@ -110,7 +110,7 @@ object CorpusStatsOps {
   val clusterKeep: Q = Q(
     "q59_cluster_keep",
     s"""WITH ${LlmOps.duckLshCtes},
-       |edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
        |${Dedup.duckClusterCtes(4)},
        |toks AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -18,21 +18,21 @@ object LlmOps {
     * clustering oracle.
     */
   private[queries] val duckLshCtes: String =
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
        |  SELECT doc_id, ${TextHash.duckShingleHashes(3)} AS hs
        |  FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id, hs, ${TextHash.duckMinhashFromHashes("hs", 16)} AS sig FROM sh),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, UNNEST(${TextHash.duckBandKeys("sig", 8, 2)}) AS key,
        |         UNNEST(generate_series(0, 7)) AS band
        |  FROM sig),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
        |    AND a.doc_id < b.doc_id),
-       |verified AS (
+       |verified AS MATERIALIZED (
        |  SELECT doc_a, doc_b,
        |    len(list_intersect(sa.hs, sb.hs)) * 1.0 /
        |      len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
@@ -153,7 +153,7 @@ object LlmOps {
   val nearDupClusters: Q = Q(
     "q55_neardup_clusters",
     s"""WITH $duckLshCtes,
-       |edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
        |${Dedup.duckClusterCtes(4)}
        |SELECT id AS doc_id, label AS cluster, (id = label) AS is_canonical
        |FROM l4
