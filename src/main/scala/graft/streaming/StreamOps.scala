@@ -49,6 +49,30 @@ object StreamOps {
       .withWatermark("event_time", lateness)
       .dropDuplicates(keys :+ "event_time")
 
+  /** Streaming corpus curation: the incremental form of the LLM-pipeline
+    * front door (new crawl shards land continuously). Exact dedup on the
+    * sha256 content fingerprint with WATERMARK-BOUNDED state
+    * (dropDuplicatesWithinWatermark — state for a fingerprint is freed
+    * once the watermark passes its event time, so state size tracks the
+    * lateness window, not corpus history), then the same quality-gate
+    * and language-ID expressions as the batch path — identical semantics
+    * by construction, so batch backfill and streaming ingest agree.
+    *
+    * Near-dup (MinHash) stays batch: its band self-join needs the full
+    * corpus side; the streaming layer's job is to keep the incremental
+    * exact-dedup + scoring state bounded, not to re-run LSH per batch.
+    */
+  def curateStream(docs: DataFrame, lateness: String = "1 hour",
+                   tsCol: String = "ingest_ts", textCol: String = "text"): DataFrame = {
+    val deduped = docs
+      .withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("event_time", lateness)
+      .withColumn("fp", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("fp")
+    graft.llm.TextAnalysis.qualityGate(deduped, textCol)
+      .withColumn("lang", graft.llm.TextAnalysis.langId(col(textCol)))
+  }
+
   /** Per-series continuity state for the W4 check (previous batch's last
     * ts vs next batch's first).
     */

@@ -59,6 +59,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out("B").getAs[Long]("lastTs") == 5000L)
   }
 
+  test("streaming corpus curation: cross-batch dup dropped, gate/lang match batch ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long, String)]
+    val out = StreamOps.curateStream(
+      stream.toDF().toDF("doc_id", "ingest_ts", "text"))
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    stream.addData(
+      (1L, t0, "the quick brown fox jumps over the lazy dog again"),
+      (2L, t0 + 1000, "x"),
+      (3L, t0 + 2000, "der die das und ist nicht ein eine zu den"))
+    q.processAllAvailable()
+    // batch 2 re-delivers doc 1's exact text within the watermark
+    stream.addData((4L, t0 + 3000, "the quick brown fox jumps over the lazy dog again"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L, 3L)),
+      "duplicate content must be dropped across micro-batches")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep") && byId(1L).getAs[String]("lang") == "en")
+    assert(!byId(2L).getAs[Boolean]("keep"), "one-token doc must fail the gate")
+    assert(byId(3L).getAs[String]("lang") == "de",
+      "language id must match the batch kernel")
+  }
+
   test("incrementalCopy processes only new files across runs (T1)") {
     import spark.implicits._
     val src = tmpDir("src"); val ckpt = tmpDir("ckpt")
