@@ -62,6 +62,24 @@ object CorpusStatsOps {
       .orderBy("source")
   }
 
+  /** The 100 TB path for [[tokenPercentiles]]: one-pass mergeable
+    * KLL-style sketch (percentile_approx) — a partial+final hash agg
+    * with NO per-group sort shuffle, rank error ≤ 1/accuracy of the
+    * group size. Not oracle-checked (sketch internals are
+    * engine-specific); the exact row_number form above IS its oracle,
+    * and CorpusStatsSpec pins the rank-error bound against it.
+    */
+  def tokenPercentilesApprox(docs: org.apache.spark.sql.DataFrame,
+                             accuracy: Int = 10000): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_tokens"), lit(0.50), lit(accuracy)).as("p50_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.90), lit(accuracy)).as("p90_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.99), lit(accuracy)).as("p99_tokens"))
+
   /** Corpus vocabulary: top-100 tokens by total frequency with document
     * frequency, min-df filtered — the input stats for vocab/BPE
     * construction and stopword discovery.

@@ -62,6 +62,30 @@ class CorpusStatsSpec extends SparkSpec {
       "every doc in the edge set has a neighbor, so clusters have >= 2 members")
   }
 
+  test("approx percentile scale path: rank error within sketch bound of exact q57") {
+    val docs = graft.Tables.documents(spark, sf)
+    val toks = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")).cache()
+    val approx = CorpusStatsOps.tokenPercentilesApprox(docs).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val src = r.getString(0); val n = r.getLong(1)
+      for ((p, i) <- Seq(0.50 -> 2, 0.90 -> 3, 0.99 -> 4)) {
+        val v = r.getLong(i)
+        // true rank fraction of the sketch's answer, as [below, below+at]
+        val below = toks.filter(col("source") === src && col("n_tokens") < v).count()
+        val atOrBelow = toks.filter(col("source") === src && col("n_tokens") <= v).count()
+        val tol = math.max(1.0, 1e-4 * n) / n + 1.0 / n // sketch bound + rank rounding
+        assert(below.toDouble / n <= p + tol && atOrBelow.toDouble / n >= p - tol,
+          s"$src p$p: value $v has rank range [${below.toDouble / n}, ${atOrBelow.toDouble / n}]")
+      }
+    }
+    // plan shape: single pass, no window sort
+    val plan = CorpusStatsOps.tokenPercentilesApprox(docs).queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not need a per-group sort")
+  }
+
   test("q57 plan: no join; q59 plan: text never enters the window shuffle") {
     val p57 = SparkEntry.queries("q57_token_percentiles")(spark, sf)
       .queryExecution.executedPlan.toString
