@@ -65,6 +65,80 @@ object Multimodal {
     }
   }
 
+  /** Frame-sample output schema: one row per sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_ms", LongType),
+    StructField("frame", BinaryType)))
+
+  /** STUB resize: deterministic fake re-encode to target dimensions.
+    * Real implementation would decode + scale + re-encode (???); the
+    * fake emits a payload whose length tracks targetW*targetH so size
+    * accounting downstream is realistic.
+    */
+  def resizeStub(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (content == null || content.isEmpty) Array.emptyByteArray
+    else {
+      val outLen = math.max(1, math.min(targetW * targetH / 64, 1 << 20))
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { out(i) = content(i % content.length); i += 1 }
+      out
+    }
+  }
+
+  /** Batch resize: same per-partition batch shape as [[featurize]]
+    * (decoder init once per partition, rows streamed). Output keeps the
+    * media-table schema so resized assets flow through the same sinks.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val schema = media.select("media_id", "modality", "content", "meta").schema
+    media.select("media_id", "modality", "content", "meta")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map { r =>
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+            resizeStub(r.getAs[Array[Byte]]("content"), targetW, targetH),
+            r.getAs[Row]("meta"))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema)).toDF()
+  }
+
+  /** Frame sampling: one input video row fans out to ceil(len/chunk)
+    * frame rows, every `everyNth` kept. The plumbing that matters at
+    * scale is the ITERATOR fan-out — frames of a partition are never
+    * materialized as a whole; each input row yields a lazy iterator, so
+    * memory is bounded by one frame regardless of video length. The
+    * frame split itself is the stub (real impl: container demux ???).
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10,
+                   frameBytes: Int = 4096, frameMs: Long = 40L): DataFrame = {
+    require(everyNth > 0 && frameBytes > 0)
+    media.select("media_id", "content")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val id = r.getAs[Long]("media_id")
+          if (content == null || content.isEmpty) Iterator.empty
+          else {
+            val nFrames = (content.length + frameBytes - 1) / frameBytes
+            // lazy range iterator: one frame in memory at a time
+            (0 until nFrames).iterator
+              .filter(_ % everyNth == 0)
+              .map { idx =>
+                val from = idx * frameBytes
+                val until = math.min(from + frameBytes, content.length)
+                Row(id, idx, idx * frameMs,
+                  java.util.Arrays.copyOfRange(content, from, until))
+              }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(frameSchema)).toDF()
+  }
+
   /** Batch feature extraction: per-partition iteration (the Scala analog
     * of `mapInPandas` — one decoder init per partition, streaming rows).
     * Null-safe, constant memory per batch.

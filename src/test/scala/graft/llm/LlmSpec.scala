@@ -143,4 +143,48 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getAs[Long]("media_id") -> r.getAs[scala.collection.Seq[Float]]("feat").toList).toMap
     assert(again(1L) == out(1L).getAs[scala.collection.Seq[Float]]("feat").toList)
   }
+
+  test("multimodal resize keeps the media schema; output size tracks target dims") {
+    val media = Seq(
+      (1L, "image", "somefakeimagepayloadbytes".getBytes, ("s3://x", "image/png", 1L)),
+      (2L, "image", Array.emptyByteArray, ("s3://y", "image/png", 2L)))
+      .toDF("media_id", "modality", "content", "meta")
+      .withColumn("meta", col("meta").cast(
+        "struct<source:string,mime:string,created_ms:bigint>"))
+    val small = Multimodal.resize(media, 64, 64)
+    val large = Multimodal.resize(media, 640, 640)
+    assert(small.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "content", "meta"))
+    val sLen = small.filter(col("media_id") === 1L)
+      .head().getAs[Array[Byte]]("content").length
+    val lLen = large.filter(col("media_id") === 1L)
+      .head().getAs[Array[Byte]]("content").length
+    assert(sLen < lLen, s"resize must track target dims: $sLen !< $lLen")
+    assert(small.filter(col("media_id") === 2L)
+      .head().getAs[Array[Byte]]("content").isEmpty)
+    // meta survives untouched
+    assert(small.filter(col("media_id") === 1L)
+      .select("meta.source").head().getString(0) == "s3://x")
+  }
+
+  test("multimodal frame sampling fans out lazily with every-Nth selection") {
+    val videoBytes = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    val media = Seq((7L, "video", videoBytes),
+      (8L, "video", Array.emptyByteArray)).toDF("media_id", "modality", "content")
+    val frames = Multimodal.sampleFrames(media, everyNth = 1, frameBytes = 1024)
+      .collect()
+    // ceil(10000/1024) = 10 frames; empty video contributes none
+    assert(frames.length == 10)
+    assert(frames.map(_.getAs[Long]("media_id")).forall(_ == 7L))
+    val last = frames.maxBy(_.getAs[Int]("frame_idx"))
+    assert(last.getAs[Array[Byte]]("frame").length == 10000 - 9 * 1024,
+      "last frame must be the remainder slice")
+    assert(last.getAs[Long]("frame_ms") == 9 * 40L)
+    val sampled = Multimodal.sampleFrames(media, everyNth = 3, frameBytes = 1024)
+      .collect().map(_.getAs[Int]("frame_idx")).sorted
+    assert(sampled.sameElements(Array(0, 3, 6, 9)), sampled.mkString(","))
+    // frames are content slices: deterministic
+    assert(frames.find(_.getAs[Int]("frame_idx") == 0).get
+      .getAs[Array[Byte]]("frame").sameElements(videoBytes.slice(0, 1024)))
+  }
 }
