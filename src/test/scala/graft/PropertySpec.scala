@@ -64,6 +64,33 @@ class PropertySpec extends SparkSpec {
     }, cases = 5)
   }
 
+  test("fused kernels == built-in compositions on random unicode corpora") {
+    // one batched DF per sample keeps Spark-job count low while the
+    // generator explores separators, empty tokens, and multi-byte chars
+    val genToken = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("é", "ü", "中文", "🎉", "", "a-b", "x.y,z"),
+      Gen.const(" "))   // double-space when joined
+    val genText = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, genToken).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(1L, Long.MaxValue).flatMap(seed =>
+      Gen.listOfN(25, genText).map(seed -> _))
+    check(Prop.forAll(genCorpus) { case (_, textsList) =>
+      val df = textsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val rows = df.select(
+        graft.functions.ShingleHash64(col("text"), 3).as("fusedH"),
+        sort_array(transform(graft.queries.TextShingles.wordShingles(col("text"), 3),
+          s => graft.llm.TextHash.md5Long(s))).as("builtH"),
+        graft.functions.SimHash32Expr(col("text")).as("fusedS"),
+        graft.llm.TextHash.simhash32(split(col("text"), " ")).as("builtS"),
+        graft.functions.LangIdExpr(col("text"), 0.02).as("fusedL"),
+        graft.llm.TextAnalysis.langIdComposed(col("text")).as("builtL")).collect()
+      rows.forall { r =>
+        r.getSeq[Long](0).sorted == r.getSeq[Long](1).toList.sorted &&
+          r.getLong(2) == r.getLong(3) && r.getString(4) == r.getString(5)
+      }
+    }, cases = 8)
+  }
+
   test("minhash jaccard is 1.0 for identical docs, in [0,1] always") {
     val docs = Seq(
       (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
