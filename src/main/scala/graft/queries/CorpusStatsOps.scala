@@ -160,5 +160,57 @@ object CorpusStatsOps {
       .orderBy("cluster")
   }
 
-  val all: Seq[Q] = Seq(tokenPercentiles, vocabTopK, clusterKeep)
+  /** Sequence packing for training: documents are laid out per source
+    * in doc_id order and assigned to fixed token-budget bins by their
+    * cumulative offset — bin = (running_total − n_tokens) / budget.
+    * Offset packing, not bin-splitting: a document may overflow its bin
+    * by < its own length (real packers then split or pad; the bin
+    * ASSIGNMENT is the distributed part and is what's verified).
+    * Integer-deterministic: same layout on every run and engine.
+    *
+    * Scale shape: one window cumulative sum per source (sort-shuffle on
+    * the source partition), then a partial+final agg on (source, bin).
+    * Token counts, not text, flow through the window.
+    */
+  val sequencePacking: Q = {
+    val budget = 2048L
+    Q(
+      "q60_sequence_packing",
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |placed AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // $budget AS bin
+         |  FROM t)
+         |SELECT source, bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM placed
+         |GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        // floor division spelled out on both sides: Spark `/` on longs is
+        // double division + truncating cast, DuckDB casts ROUND — so the
+        // oracle uses `//` and this side floors (offsets are non-negative,
+        // and budget is a power of two, so the double math is exact)
+        .withColumn("bin",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget))
+            .cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    }
+  }
+
+  val all: Seq[Q] = Seq(tokenPercentiles, vocabTopK, clusterKeep, sequencePacking)
 }

@@ -62,6 +62,25 @@ class CorpusStatsSpec extends SparkSpec {
       "every doc in the edge set has a neighbor, so clusters have >= 2 members")
   }
 
+  test("q60 packing: bins are contiguous doc ranges, token totals conserved") {
+    val bins = SparkEntry.queries("q60_sequence_packing")(spark, sf).collect()
+    assert(bins.nonEmpty)
+    // per source: bin ids contiguous from 0, doc ranges non-overlapping in order
+    bins.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).sameElements(ordered.indices.map(_.toLong)))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          "doc ranges must not overlap between consecutive bins")
+        case _ =>
+      }
+    }
+    val packed = bins.map(_.getLong(3)).sum
+    val corpus = graft.Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(packed == corpus, "every token must land in exactly one bin")
+  }
+
   test("approx percentile scale path: rank error within sketch bound of exact q57") {
     val docs = graft.Tables.documents(spark, sf)
     val toks = docs.select(col("source"),
