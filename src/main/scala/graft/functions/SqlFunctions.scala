@@ -51,6 +51,9 @@ object SqlFunctions {
     ("float_vec_dot",
       "float_vec_dot(a, b) - double-accumulated dot product of two float arrays",
       args => FloatVecDot(args(0), args(1))),
+    ("byte_vec_dot",
+      "byte_vec_dot(a, b) - exact long dot product of two int8-quantized arrays",
+      args => ByteVecDot(args(0), args(1))),
     ("lang_id",
       "lang_id(text[, min_score]) - best-scoring language id, NULL below min_score (default 0.02)",
       args => LangIdExpr(args.head,

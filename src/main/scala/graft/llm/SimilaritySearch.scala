@@ -56,6 +56,37 @@ object SimilaritySearch {
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** Int8 quantization of an embedding column (q56's recipe: per-vector
+    * max-abs scale to [−127, 127], round half up) as `array<tinyint>` —
+    * 4× less memory bandwidth than float32.
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val maxAbs = aggregate(emb, lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(1.0))
+    transform(emb, v => floor(v.cast("double") * scale + 0.5).cast("byte"))
+  }
+
+  /** Brute-force top-k in the int8-quantized domain: same plan shape as
+    * [[topK]] (broadcast queries, corpus never shuffles) but the
+    * candidate scan reads 1/4 the bytes and the inner loop is an exact
+    * integer dot (ByteVecDot). Per-vector scales cancel in the cosine,
+    * so no scale column is carried. The float [[topK]] is the recall
+    * oracle; ranking differs only where quantization noise reorders
+    * near-ties.
+    */
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.bcosine
+    val qc = corpus.select(col(idCol), quantizeInt8(col(embCol)).as("q8"))
+    val qq = queries.select(col(idCol).as("q_id"), quantizeInt8(col(embCol)).as("q8_q"))
+    val sims = qc.crossJoin(broadcast(qq))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        bcosine(col("q8_q"), col("q8")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
   /** Corpus bucketed by hyperplane LSH (the index build). */
   def bucketize(corpus: DataFrame, planes: Int = 8, dim: Int = 64,
                 embCol: String = "embedding"): DataFrame =

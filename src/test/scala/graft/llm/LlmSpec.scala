@@ -144,6 +144,30 @@ class LlmSpec extends SparkSpec {
     assert(again(1L) == out(1L).getAs[scala.collection.Seq[Float]]("feat").toList)
   }
 
+  test("int8-quantized top-k: exact integer dot, high recall vs float brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    // kernel exactness: ByteVecDot on a known pair
+    val d = Seq((Seq(1, -2, 3), Seq(4, 5, -6)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.bdot(
+        col("a").cast("array<tinyint>"), col("b").cast("array<tinyint>")))
+      .head().getLong(0)
+    assert(d == 4 - 10 - 18, s"1*4 + (-2)*5 + 3*(-6) = -24, got $d")
+    // recall@5 of the quantized ranking vs the float oracle
+    val exact = SimilaritySearch.topK(emb, queries, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilaritySearch.topKQuantized(emb, queries, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@5 too low: $recall")
+    // quantized values stay in tinyint range with max-abs hitting ±127
+    val q8 = emb.limit(50).select(SimilaritySearch.quantizeInt8(col("embedding")).as("q"))
+      .select(explode(col("q")).as("v"))
+    val mx = q8.agg(max(abs(col("v")))).head().getByte(0)
+    assert(mx == 127, s"max-abs scaling must reach 127, got $mx")
+  }
+
   test("multimodal resize keeps the media schema; output size tracks target dims") {
     val media = Seq(
       (1L, "image", "somefakeimagepayloadbytes".getBytes, ("s3://x", "image/png", 1L)),
