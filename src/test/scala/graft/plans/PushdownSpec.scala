@@ -57,6 +57,9 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("q41: corpus scan of embeddings prunes to id + vector columns") {
+    // other suites cache the embeddings table; a cached plan's leaf is an
+    // InMemoryTableScan, not the parquet scan this test pins
+    spark.catalog.clearCache()
     val scan = scanOf(SparkEntry.queries("q41_cosine_topk")(spark, sf), "embeddings")
     val n = scan.requiredSchema.fields.map(_.name).toSet
     assert(n.contains("vec_id") && n.contains("embedding"),
