@@ -41,6 +41,10 @@ class CorpusStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial"), "missing map-side partial aggregation")
     assert(!p.contains("Expand"), "count-distinct expand would triple the shuffle")
+    // orderBy+limit must compile to per-partition top-k, not a global sort
+    // of the whole vocabulary
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${p.take(1500)}")
   }
 
   test("q59 keep decision: one kept doc per cluster, kept is longest, members >= 2") {
