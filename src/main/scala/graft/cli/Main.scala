@@ -24,6 +24,7 @@ import graft.storage.{LakeReader, LakeWriter, SeriesKey}
   *   graft.cli.Main <lakeRoot> verify <exchange> <symbol> <type>
   *   graft.cli.Main <lakeRoot> delete <exchange> <symbol>
   *   graft.cli.Main <lakeRoot> upload-feature <file> <set> <version>
+  *   graft.cli.Main <lakeRoot> download-feature <set> <dst> [version]
   *   graft.cli.Main <lakeRoot> features
   *
   * `download-*` mirror the reference's most-used entry points

@@ -24,7 +24,16 @@ object Checkpoints {
         // idempotent: setCheckpointDir is cheap and the dir may change
         // between calls in tests
         spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // a reliable checkpoint RECOMPUTES lineage for the write unless
+        // the data is cached — persist first so each pipeline runs once,
+        // then drop the cache (the checkpoint files are the truth).
+        // Checkpoint dirs accumulate for the app lifetime unless
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true; long
+        // jobs should set it alongside spark.graft.checkpointDir.
+        val cached = df.persist()
+        val out = cached.checkpoint(eager = true)
+        cached.unpersist(blocking = false)
+        out
       case _ => df.localCheckpoint(eager = true)
     }
   }

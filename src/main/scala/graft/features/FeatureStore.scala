@@ -88,12 +88,20 @@ final class FeatureStore(spark: SparkSession, root: String, catalog: ManifestCat
     val sfs = fs(src.toString); val dfs = fs(dst.toString)
     val md = MessageDigest.getInstance("SHA-256")
     val in = sfs.open(src)
-    val out = dfs.create(dst, true)
+    // never leave a partial file behind: a copy that dies mid-stream
+    // must clean up exactly like a checksum mismatch does
+    var copied = false
     try {
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf) }
-    } finally { in.close(); out.close() }
+      val out = dfs.create(dst, true)
+      try {
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf) }
+        copied = true
+      } finally {
+        try out.close() finally { if (!copied) dfs.delete(dst, false) }
+      }
+    } finally in.close()
     val actual = md.digest().map("%02x".format(_)).mkString
     if (actual != expected) {
       dfs.delete(dst, false) // never leave a corrupt copy behind

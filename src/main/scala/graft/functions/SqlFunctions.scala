@@ -15,8 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object SqlFunctions {
 
-  private def litInt(e: Expression, fn: String, default: => Int = -1)
-  : Int = e match {
+  private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Number, _) => v.intValue
     case other => throw new IllegalArgumentException(
       s"$fn: tuning argument must be an integer literal, got $other")

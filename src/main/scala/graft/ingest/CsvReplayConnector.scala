@@ -62,11 +62,15 @@ final class CsvReplayConnector(fixtureDir: String,
   override def listSymbols(market: String): Seq[String] = {
     val dir = Paths.get(fixtureDir)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".csv") && !n.endsWith(".funding.csv"))
-      .map(_.stripSuffix(".csv"))
-      .toSeq.sorted
+    else {
+      val stream = Files.list(dir) // must close: directory handle leaks otherwise
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".csv") && !n.endsWith(".funding.csv"))
+        .map(_.stripSuffix(".csv"))
+        .toSeq.sorted
+      finally stream.close()
+    }
   }
 
   override def fetchFundingRates(symbol: String, sinceMs: Long,

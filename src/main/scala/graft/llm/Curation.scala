@@ -29,10 +29,10 @@ object Curation {
     // fused kernel ≡ shingleHashes(wordShingles(text, n)) (cross-checked
     // in FusedKernelSpec) — one per-row loop instead of five nested
     // higher-order string expressions; same values, same oracle
-    def grams(df: DataFrame) = graft.functions.ShingleHash64(col(textCol), n)
-    val benchGrams = benchmark.select(explode(grams(benchmark)).as("gram")).distinct()
+    val gram = graft.functions.ShingleHash64(col(textCol), n)
+    val benchGrams = benchmark.select(explode(gram).as("gram")).distinct()
     corpus
-      .select(col(idCol).as("doc_id"), explode(grams(corpus)).as("gram"))
+      .select(col(idCol).as("doc_id"), explode(gram).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id")
       // wordShingles is per-doc distinct, so this counts DISTINCT
@@ -118,8 +118,11 @@ object Curation {
   def duckSampleKeep(thresholdsPerMillion: Map[String, Long],
                      defaultPerMillion: Long): String = {
     val key = s"(${TextHash.duckMd5Long("doc_id::VARCHAR")} % $SampleDomain)"
-    val cases = thresholdsPerMillion.toSeq.sortBy(_._1)
-      .map { case (s, t) => s"WHEN source = '$s' THEN ${t}" }.mkString(" ")
-    s"$key < (CASE $cases ELSE $defaultPerMillion END)"
+    if (thresholdsPerMillion.isEmpty) s"$key < $defaultPerMillion" // CASE with no WHEN is invalid SQL
+    else {
+      val cases = thresholdsPerMillion.toSeq.sortBy(_._1)
+        .map { case (s, t) => s"WHEN source = '$s' THEN ${t}" }.mkString(" ")
+      s"$key < (CASE $cases ELSE $defaultPerMillion END)"
+    }
   }
 }
