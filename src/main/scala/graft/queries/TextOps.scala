@@ -188,8 +188,86 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PII scrubbing (the redaction pass a corpus runs before training):
+    * count and redact email addresses and IPv4 literals. Patterns are
+    * deliberately RE2-and-Java-compatible so Spark and DuckDB agree
+    * byte-for-byte (verified by the scrubbed-text hash).
+    *
+    * Scale shape: map-only per-row regex; no shuffle except the final
+    * presentation sort.
+    */
+  val piiScrub: Q = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    Q(
+      "q61_pii_scrub",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  sha256(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |                        '$ip', '<IP>', 'g')) AS scrub_sha
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '$ip', 0)")).cast("long").as("n_ips"),
+          sha2(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            ip, "<IP>"), 256).as("scrub_sha"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Sliding-window document chunking (context-window prep): tokens cut
+    * into `chunkSize`-token windows advancing by `chunkSize − overlap`,
+    * each chunk identified by its token count and content hash. Chunk
+    * arithmetic is pure integers; the content hash pins the exact slice
+    * boundaries cross-engine.
+    *
+    * Scale shape: per-row explode of ~n/step chunk indices — map-only
+    * fan-out; text leaves the row only as per-chunk hashes.
+    */
+  val chunking: Q = {
+    val chunkSize = 64; val overlap = 16; val step = chunkSize - overlap
+    Q(
+      "q62_chunking",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id < 500),
+         |c AS (
+         |  SELECT doc_id,
+         |    UNNEST(generate_series(0,
+         |      CAST(GREATEST((len(toks) - $overlap + $step - 1) // $step, 1) AS INT) - 1))
+         |      AS chunk_idx,
+         |    toks
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(toks[chunk_idx * $step + 1 : chunk_idx * $step + $chunkSize]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  ${graft.llm.TextHash.duckMd5Long(
+                s"array_to_string(toks[chunk_idx * $step + 1 : chunk_idx * $step + $chunkSize], ' ')")}
+         |    AS chunk_hash
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nChunks = greatest(
+        floor((size(toks) - lit(overlap) + lit(step - 1)) / lit(step)).cast("int"), lit(1))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), toks.as("toks"),
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          slice(col("toks"), col("chunk_idx") * step + 1, lit(chunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          graft.llm.TextHash.md5Long(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    exactDedup, tokenStats, qualityScore, langId, shingleStats, jaccardPairs)
+    exactDedup, tokenStats, qualityScore, langId, shingleStats, jaccardPairs,
+    piiScrub, chunking)
 }
 
 /** Shared shingling helpers (column-level, codegen-friendly built-ins). */

@@ -79,6 +79,35 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(Dedup.nearDupClusters(noPairs).count() == 0L)
   }
 
+  test("pii scrub redacts emails and IPs; chunking covers every token exactly once per window") {
+    import spark.implicits._
+    val d = Seq((1L, "mail a.b-c@ex-ample.org and 10.0.255.1 twice a@b.io", "x"))
+      .toDF("doc_id", "text", "source")
+    d.createOrReplaceTempView("pii_docs")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val scrubbed = d.select(
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), ip, "<IP>").as("t"),
+      size(expr(s"regexp_extract_all(text, '$email', 0)")).as("ne"),
+      size(expr(s"regexp_extract_all(text, '$ip', 0)")).as("ni")).head()
+    assert(scrubbed.getString(0) == "mail <EMAIL> and <IP> twice <EMAIL>")
+    assert(scrubbed.getInt(1) == 2 && scrubbed.getInt(2) == 1)
+
+    // chunking: 120 tokens, window 64 step 48 -> chunks at 0,48,96 with
+    // sizes 64,64,24; consecutive chunks overlap by exactly 16
+    val doc = (1 to 120).map(i => s"t$i").mkString(" ")
+    val chunks = graft.queries.TextOps.chunking
+      .run.apply(spark, "/root/testdata/sf0.001") // oracle query runs on testdata
+    val toks = split(col("text"), " ")
+    val n = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(explode(sequence(lit(0), lit(2))).as("i"), toks.as("toks"))
+      .select(slice(col("toks"), col("i") * 48 + 1, lit(64)).as("c"))
+      .collect().map(_.getSeq[String](0))
+    assert(n.map(_.length).toSeq == Seq(64, 64, 24))
+    assert(n(0).takeRight(16) == n(1).take(16), "adjacent chunks share the overlap")
+    assert(chunks.groupBy("doc_id").agg(max("chunk_idx")).count() > 0)
+  }
+
   test("ANN search: empty query set and empty corpus both return empty, no throw") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
