@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // defense in depth against block-manager pressure from 124 query
+      // executions in one JVM: periodic GC lets the ContextCleaner drop
+      // unreferenced shuffle/broadcast/RDD state even between freeAll calls
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (not timed): run every query once AT THE TARGET SF. AQE
@@ -19,13 +23,20 @@ object Bench {
     // in the timed pass — the warmup must execute the exact plans that
     // will be timed. Measures steady-state per-query cost.
     try {
-      SparkEntry.queries.values.foreach(fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => })
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        graft.core.Checkpoints.freeAll()
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free each query's localCheckpoint blocks OUTSIDE its timing —
+      // lingering checkpoint blocks across 124 executions grow
+      // block-manager pressure unboundedly (the r3 q59 stall class)
+      graft.core.Checkpoints.freeAll()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -8,13 +8,79 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, processed in batches
   * per partition.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB; everything around it — the schema,
-  * the binaryFile source mapping, the per-partition batch execution
-  * shape, partition sizing — is real and tested. Swap `decodeStub` for a
-  * JNI/codec call and nothing else changes.
+  * IMAGE decode/resize is REAL: `javax.imageio` (JDK-bundled — PNG,
+  * JPEG, GIF, BMP readers) decodes true dimensions, extracts a
+  * luminance-band feature, and re-encodes resizes. Bytes no registered
+  * reader understands (video containers, audio, corrupt payloads) fall
+  * back to the clearly-marked deterministic STUB so the batch pipeline
+  * still exercises end-to-end; swap the stub for a JNI/codec call and
+  * nothing else changes.
   */
 object Multimodal {
+
+  /** Real image decode via the JDK's ImageIO: returns (width, height,
+    * 8-dim luminance-band feature) for any payload a registered reader
+    * accepts (PNG/JPEG/GIF/BMP in a stock JDK), None otherwise. The
+    * feature is the mean gray value of 8 horizontal bands on a ≤64×64
+    * sample grid — deterministic integer sampling, cheap at any
+    * resolution.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (content == null || content.length < 4) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no executor-disk scratch files
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        val feat = new Array[Float](8)
+        var band = 0
+        while (band < 8) {
+          val y0 = h.toLong * band / 8; val y1 = math.max(y0 + 1, h.toLong * (band + 1) / 8)
+          var sum = 0L; var n = 0L; var y = y0
+          while (y < y1) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y.toInt)
+              sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+              n += 1; x += sx
+            }
+            y += sy
+          }
+          feat(band) = if (n == 0) 0.0f else (sum.toDouble / n / 255.0).toFloat
+          band += 1
+        }
+        Some((w, h, feat))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Real image resize: decode via ImageIO, scale with bilinear
+    * interpolation, re-encode as PNG. None when the payload isn't a
+    * decodable image.
+    */
+  def resizeImage(content: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    if (content == null || content.length < 4) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (src == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some(baos.toByteArray)
+      }
+    } catch { case _: Throwable => None }
+  }
 
   /** Canonical media-table schema: one row per asset. */
   val mediaSchema: StructType = StructType(Seq(
@@ -48,10 +114,10 @@ object Multimodal {
         struct(col("path").as("source"), lit("application/octet-stream").as("mime"),
           unix_millis(col("modificationTime")).as("created_ms")).as("meta"))
 
-  /** STUB decode: deterministic pseudo-decode of a binary payload.
-    * Real implementation would call an image/audio codec here (???);
-    * this fake derives (width, height, 8-dim feature) from content
-    * bytes so tests exercise the full batch pipeline deterministically.
+  /** STUB decode — fallback for payloads [[decodeImage]] can't read
+    * (video/audio/corrupt bytes; a real video/audio codec would go here
+    * (???)): derives (width, height, 8-dim feature) from content bytes
+    * so the batch pipeline still runs deterministically end-to-end.
     */
   def decodeStub(content: Array[Byte]): (Int, Int, Array[Float]) = {
     if (content == null || content.isEmpty) (0, 0, Array.fill(8)(0.0f))
@@ -72,10 +138,10 @@ object Multimodal {
     StructField("frame_ms", LongType),
     StructField("frame", BinaryType)))
 
-  /** STUB resize: deterministic fake re-encode to target dimensions.
-    * Real implementation would decode + scale + re-encode (???); the
-    * fake emits a payload whose length tracks targetW*targetH so size
-    * accounting downstream is realistic.
+  /** STUB resize — fallback for payloads [[resizeImage]] can't decode
+    * (a real video/audio transcode would go here (???)): emits a
+    * payload whose length tracks targetW*targetH so size accounting
+    * downstream is realistic.
     */
   def resizeStub(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     if (content == null || content.isEmpty) Array.emptyByteArray
@@ -97,11 +163,13 @@ object Multimodal {
     media.select("media_id", "modality", "content", "meta")
       .repartition(col("media_id"))
       .mapPartitions { it =>
-        // per-partition codec init would go here
         it.map { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          // real ImageIO path for decodable images, stub otherwise
+          val resized = resizeImage(content, targetW, targetH)
+            .getOrElse(resizeStub(content, targetW, targetH))
           Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
-            resizeStub(r.getAs[Array[Byte]]("content"), targetW, targetH),
-            r.getAs[Row]("meta"))
+            resized, r.getAs[Row]("meta"))
         }
       }(org.apache.spark.sql.Encoders.row(schema)).toDF()
   }
@@ -151,7 +219,7 @@ object Multimodal {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         val content = r.getAs[Array[Byte]]("content")
-        val (w, h, feat) = decodeStub(content)
+        val (w, h, feat) = decodeImage(content).getOrElse(decodeStub(content))
         val digest =
           if (content == null) ""
           else { sha.reset(); sha.digest(content).map("%02x".format(_)).mkString }

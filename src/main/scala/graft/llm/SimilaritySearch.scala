@@ -31,6 +31,20 @@ object SimilaritySearch {
   /** The same weight, for generating the DuckDB oracle SQL. */
   def duckWeight(h: Int, j: Int): Int = weight(h, j)
 
+  /** DuckDB SQL for [[bucketId]] — generated from the same md5-derived
+    * integer weights, so both engines compute identical sign bits.
+    */
+  def duckBucketSql(emb: String = "embedding", planes: Int = 8, dim: Int = 64): String = {
+    def planeDot(h: Int): String =
+      (0 until dim).map(j => s"CAST($emb[${j + 1}] AS DOUBLE) * (${weight(h, j)})")
+        .mkString("(", " + ", ")")
+    // CAST: DuckDB types small CASE literals INTEGER; Spark's 1L << h is
+    // BIGINT — the driver's typed hash must see INT64 on both engines
+    (0 until planes).map(h =>
+      s"(CASE WHEN ${planeDot(h)} > 0 THEN ${1L << h} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+  }
+
   /** Sum_j emb[j] * w(h, j) — the codegen'd fdot against a literal
     * weight vector (integer weights are exactly representable as float,
     * so this is bit-identical to the elementwise sum both engines run).

@@ -166,7 +166,10 @@ object CorpusStatsOps {
     * Offset packing, not bin-splitting: a document may overflow its bin
     * by < its own length (real packers then split or pad; the bin
     * ASSIGNMENT is the distributed part and is what's verified).
-    * Integer-deterministic: same layout on every run and engine.
+    * Integer-deterministic: same layout on every run and engine. The
+    * oracle CASTs bin to BIGINT because DuckDB's SUM(BIGINT) window
+    * returns HUGEINT and `//` propagates it — the typed hash must see
+    * INT64 on both engines.
     *
     * Scale shape: one window cumulative sum per source (sort-shuffle on
     * the source partition), then a partial+final agg on (source, bin).
@@ -182,8 +185,8 @@ object CorpusStatsOps {
          |  FROM documents),
          |placed AS (
          |  SELECT source, doc_id, n_tokens,
-         |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // $budget AS bin
+         |    CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // $budget AS BIGINT) AS bin
          |  FROM t)
          |SELECT source, bin,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,

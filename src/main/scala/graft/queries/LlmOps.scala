@@ -99,22 +99,32 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  /** Exact embedding near-duplicate pairs (cosine ≥ 0.2) — the oracle
-    * for the LSH-bucketed production path (verified by recall spec).
+  /** Embedding near-duplicate pairs (cosine ≥ 0.2) via the PRODUCTION
+    * path: hyperplane-LSH bucket equi-join — same-bucket candidates
+    * only, no cross product, the plan that survives 100×. The oracle
+    * replays the identical bucketing (generated from the same
+    * md5-derived hyperplanes) and the identical cosine arithmetic, so
+    * the hash compare is bit-exact. The exact O(N²) form
+    * (SimilaritySearch.cosinePairsExact) is the recall oracle in
+    * SimilaritySpec only — deliberately NOT a declared query.
     */
   val embeddingNearDup: Q = Q(
     "q43_embedding_near_dup",
-    """WITH pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+    s"""WITH b AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    ${SimilaritySearch.duckBucketSql()} AS bucket,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    list_aggregate(list_transform(list_zip(a.embedding, c.embedding),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-      |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |    / (a.nrm * c.nrm) AS sim
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
       |SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs
       |WHERE sim >= 0.2
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    SimilaritySearch.cosinePairsExact(Tables.embeddings(s, d), 0.2)
+    SimilaritySearch.cosinePairsLsh(Tables.embeddings(s, d), 0.2)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
   }
@@ -124,20 +134,11 @@ object LlmOps {
     * the ANN index build; the probe path is covered by recall specs.
     */
   val lshBuckets: Q = Q(
-    "q44_lsh_buckets", {
-      def planeDot(h: Int): String =
-        (0 until 64).map { j =>
-          val w = SimilaritySearch.duckWeight(h, j)
-          s"CAST(embedding[${j + 1}] AS DOUBLE) * ($w)"
-        }.mkString("(", " + ", ")")
-      val bucket = (0 until 8).map(h =>
-        s"(CASE WHEN ${planeDot(h)} > 0 THEN ${1L << h} ELSE 0 END)")
-        .mkString("(", " + ", ")")
-      s"""SELECT $bucket AS bucket, COUNT(*) AS n
-         |FROM embeddings
-         |GROUP BY bucket
-         |ORDER BY bucket""".stripMargin
-    }) { (s, d) =>
+    "q44_lsh_buckets",
+    s"""SELECT ${SimilaritySearch.duckBucketSql()} AS bucket, COUNT(*) AS n
+       |FROM embeddings
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin) { (s, d) =>
     SimilaritySearch.bucketize(Tables.embeddings(s, d))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")

@@ -349,8 +349,53 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Correlated-subquery coverage (SURVEY §2.3 J5 / §4 "subquery
+    * decorrelation"): declared as SQL TEXT so Catalyst's
+    * RewriteSubquery/decorrelation rules are actually exercised — the
+    * DataFrame API (q05/q06) never produces a correlated subquery. The
+    * SAME string is the DuckDB oracle, so Spark and oracle cannot
+    * drift. At scale the EXISTS decorrelates to a left-semi hash join
+    * on o_orderkey — the fact table shuffles once on its join key.
+    */
+  private val existsSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val existsSubquery: Q = Q("q63_exists_subquery", existsSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(existsSql)
+  }
+
+  /** Correlated SCALAR subqueries (TPC-H Q17 shape: small-quantity
+    * orders vs the per-part average), decorrelated by Catalyst into an
+    * aggregate + join on l_partkey. The avg comparison is multiplied
+    * out (2·qty·cnt < sum) in exact DECIMAL so no float division ever
+    * decides a row — cross-engine determinism per Q's conventions.
+    */
+  private val scalarSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_items
+      |FROM lineitem l1
+      |WHERE CAST(l1.l_quantity AS DECIMAL(18,2)) * 2 *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+      |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
+
+  val scalarSubquery: Q = Q("q64_scalar_subquery", scalarSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(scalarSql)
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, filterProject, revenueByNation, segmentSummary, semiJoin,
     antiJoin, rollupStatus, cubeReturns, rankWindow, runningSum, topKOrders,
-    intersectNations, exceptBrands, conditionalAgg, bounds, rangeJoin)
+    intersectNations, exceptBrands, conditionalAgg, bounds, rangeJoin,
+    existsSubquery, scalarSubquery)
 }

@@ -26,4 +26,21 @@ class CheckpointsSpec extends SparkSpec {
       assert(n > 1, s"no checkpoint files under $dir")
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
+
+  test("freeAll drops localCheckpoint blocks tracked across a pipeline") {
+    import spark.implicits._
+    Checkpoints.freeAll() // clean slate from other suites
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    Dedup.minhashLsh(df).count() // takes localCheckpoints internally
+    assert(Checkpoints.trackedCount > 0, "checkpoints must be tracked")
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "localCheckpoint must persist blocks")
+    Checkpoints.freeAll(blocking = true)
+    assert(Checkpoints.trackedCount == 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"freeAll must unpersist every tracked checkpoint RDD, left: $after")
+  }
 }

@@ -191,6 +191,42 @@ class LlmSpec extends SparkSpec {
       .select("meta.source").head().getString(0) == "s3://x")
   }
 
+  test("real PNG decode: true dimensions + luminance feature; resize re-decodes at target dims") {
+    // generate a real PNG: 100×40, top half white, bottom half black
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (y < h / 2) 0xffffff else 0x000000)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val bytes = png(100, 40)
+    val media = Seq((1L, "image", bytes), (2L, "image", "notanimage".getBytes))
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.featurize(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // REAL dimensions, not the hash stub
+    assert(out(1L).getAs[Int]("width") == 100)
+    assert(out(1L).getAs[Int]("height") == 40)
+    val feat = out(1L).getAs[scala.collection.Seq[Float]]("feat")
+    // top bands white (≈1.0), bottom bands black (≈0.0)
+    assert(feat.head > 0.9f && feat.last < 0.1f, feat.mkString(","))
+    // non-image bytes still take the stub path (width from content hash)
+    val (sw, sh, _) = Multimodal.decodeStub("notanimage".getBytes)
+    assert(out(2L).getAs[Int]("width") == sw && out(2L).getAs[Int]("height") == sh)
+    // resize: output must RE-DECODE as a real PNG at the target dims
+    val metaMedia = media.withColumn("meta",
+      expr("named_struct('source','t','mime','image/png','created_ms',0L)"))
+    val resized = Multimodal.resize(metaMedia, 25, 10)
+      .filter(col("media_id") === 1L).head().getAs[Array[Byte]]("content")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back != null, "resized payload must be a decodable PNG")
+    assert(back.getWidth == 25 && back.getHeight == 10)
+    // scaled image keeps the top-light/bottom-dark structure
+    assert((back.getRGB(12, 1) & 0xff) > 200 && (back.getRGB(12, 8) & 0xff) < 50)
+  }
+
   test("multimodal frame sampling fans out lazily with every-Nth selection") {
     val videoBytes = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
     val media = Seq((7L, "video", videoBytes),

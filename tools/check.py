@@ -53,6 +53,18 @@ for name in names:
             fails.append((name, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"))
             continue
         order = sorted(spark_cols)
+        # The driver's compare hashes TYPED values — a HUGEINT column with
+        # the same numbers as a BIGINT one hash-mismatches. Compare result
+        # types per column so local green predicts driver green.
+        s_types = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        d_types = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+        bad_types = [(c, s_types[c], d_types[c]) for c in order
+                     if s_types[c] != d_types[c]]
+        if bad_types:
+            c, st, dt = bad_types[0]
+            fails.append((name, f"result type mismatch on {c}: spark={st} duck={dt}"
+                                f" ({len(bad_types)} col(s) — driver hash would differ)"))
+            continue
         s_rows = [tuple(norm(v) for v in r) for r in
                   spark_rel.project(", ".join(f'"{c}"' for c in order)).fetchall()]
         d_rows = [tuple(norm(v) for v in r) for r in
