@@ -22,7 +22,10 @@ object Bench {
     // codegen), so warming at a smaller SF still leaves first-run JIT
     // in the timed pass — the warmup must execute the exact plans that
     // will be timed. Measures steady-state per-query cost.
-    try {
+    // SPARK_GRAFT_WARMUP=0 skips it: the timed pass then includes
+    // first-run JIT/codegen/footer IO — the COLD number a user's first
+    // session pays (recorded alongside steady-state in BASELINE.md).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") try {
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
         graft.core.Checkpoints.freeAll()

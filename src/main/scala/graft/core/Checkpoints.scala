@@ -76,4 +76,19 @@ object Checkpoints {
 
   /** Number of tracked (not-yet-freed) checkpoint RDDs — test hook. */
   def trackedCount: Int = tracked.size()
+
+  /** Checkpoint WITHOUT freeAll tracking — for memoized pipeline
+    * results that must stay valid ACROSS queries in a session (e.g. the
+    * shared LSH-cluster result q55/q59 both read). Pin only small final
+    * results: pinned blocks live until the session ends.
+    */
+  def pinned(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+  }
 }

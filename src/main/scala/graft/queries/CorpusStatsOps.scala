@@ -123,7 +123,9 @@ object CorpusStatsOps {
     *
     * Scale shape: clusters ≪ corpus (only docs with an LSH edge);
     * the token-count join and the per-cluster window both shuffle on
-    * ids, never on text.
+    * ids, never on text. The cluster sub-pipeline is the SHARED q55
+    * memo (LlmOps.sharedClusters) — one LSH+clustering run per session,
+    * not one per consuming query.
     */
   val clusterKeep: Q = Q(
     "q59_cluster_keep",
@@ -144,8 +146,7 @@ object CorpusStatsOps {
        |FROM ranked WHERE rn = 1
        |ORDER BY cluster""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.5)
-    val clusters = Dedup.nearDupClusters(pairs, rounds = 4)
+    val clusters = LlmOps.sharedClusters(s, d)
       .select(col("doc_id"), col("cluster"))
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))

@@ -28,4 +28,37 @@ class NewOpPlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert(p.contains("partial"), "missing map-side partial aggregation")
   }
+
+  test("no declared query plans a cartesian product (the textbook 100x scale-killer)") {
+    // BroadcastNestedLoopJoin with a bounded broadcast side (q16 bands,
+    // q41 query set) is fine at scale; CartesianProductExec never is.
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(2000)}")
+    }
+  }
+
+  test("q43 production near-dup: LSH bucket equi-join, not a nested-loop pair scan") {
+    val p = plan("q43_embedding_near_dup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on bucket:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must be the bucket equi-join")
+  }
+
+  test("q63/q64 correlated subqueries decorrelate to joins — no per-row subplan survives") {
+    for (q <- Seq("q63_exists_subquery", "q64_scalar_subquery")) {
+      val exec = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution
+      // optimizer must rewrite the correlation into a join
+      val opt = exec.optimizedPlan.toString
+      assert(opt.contains("Join"), s"$q: expected decorrelated join:\n${opt.take(2000)}")
+      // and no correlated-subquery expression may remain in the physical plan
+      val p = exec.executedPlan.toString
+      assert(!p.toLowerCase.contains("correlated"),
+        s"$q: correlated subquery survived to execution:\n${p.take(2000)}")
+    }
+  }
 }

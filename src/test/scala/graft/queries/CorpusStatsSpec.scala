@@ -64,6 +64,10 @@ class CorpusStatsSpec extends SparkSpec {
     assert(joined.filter(col("n_members") =!= col("n")).count() == 0)
     assert(kept.filter(col("n_members") < 2).count() == 0,
       "every doc in the edge set has a neighbor, so clusters have >= 2 members")
+    // unpersist: q59 plans are now IDENTICAL across calls (the cluster
+    // sub-pipeline is a shared pinned checkpoint), so a cached q59 would
+    // be substituted as InMemoryRelation into the later plan-shape test
+    joined.unpersist(); kept.unpersist()
   }
 
   test("q60 packing: bins are contiguous doc ranges, token totals conserved") {
