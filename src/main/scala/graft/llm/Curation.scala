@@ -99,7 +99,72 @@ object Curation {
           col("top_token_ratio") <= maxTopToken)
   }
 
+  /** Deterministic corpus shuffling (training-order permutation): every
+    * document gets an md5 shuffle key from (id, salt), is routed to
+    * `key % nShards`, and receives its position within the shard by
+    * (key, id) order — the sharded-shuffle layout real training
+    * pipelines write (N shard files, each internally permuted; readers
+    * interleave shards). Changing the salt produces an independent
+    * permutation; no RNG state, identical on every run/engine.
+    *
+    * Scale shape: one shuffle keyed on shard + a per-shard sort — a
+    * distributed sort of (key, id) pairs, never a global single-
+    * partition window; text never enters the shuffle.
+    */
+  def corpusShuffle(docs: DataFrame, salt: String, nShards: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = TextHash.md5Long(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    docs
+      .select(col(idCol), key.as("shuffle_key"))
+      // md5Long is non-negative (60-bit), so plain % == pmod on both engines
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Hash-based train/val/test split assignment: `md5(id:salt) % 100`
+    * buckets to train (< trainPct), val (< trainPct+valPct), else test.
+    * Documents keep their split forever (stable under corpus growth),
+    * the standard leakage-safe recipe — and a DIFFERENT salt than any
+    * sampling/shuffle step so the splits are independent of them.
+    *
+    * Scale shape: map-only expression; composes with any plan.
+    */
+  def splitAssign(docs: DataFrame, salt: String, trainPct: Int = 98,
+                  valPct: Int = 1, idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val key = TextHash.md5Long(concat(col(idCol).cast("string"), lit(":" + salt))) % 100
+    docs.withColumn("split",
+      when(key < trainPct, lit("train"))
+        .when(key < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   // ---- DuckDB oracle fragments (same constants, same arithmetic) ----
+
+  /** DuckDB: the full sharded-shuffle pipeline (same key arithmetic). */
+  def duckCorpusShuffle(salt: String, nShards: Int): String = {
+    val key = TextHash.duckMd5Long(s"doc_id::VARCHAR || ':$salt'")
+    s"""WITH sharded AS (
+       |  SELECT doc_id, $key AS shuffle_key, CAST($key % $nShards AS BIGINT) AS shard
+       |  FROM documents)
+       |SELECT shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |       ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+       |  doc_id, shuffle_key
+       |FROM sharded
+       |ORDER BY shard, pos""".stripMargin
+  }
+
+  /** DuckDB: the split-assignment expression (same key arithmetic). */
+  def duckSplitExpr(salt: String, trainPct: Int, valPct: Int): String = {
+    val key = s"(${TextHash.duckMd5Long(s"doc_id::VARCHAR || ':$salt'")} % 100)"
+    s"""CASE WHEN $key < $trainPct THEN 'train'
+       |     WHEN $key < ${trainPct + valPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
 
   /** DuckDB: the full contamination pipeline (constants must match). */
   def duckContamination(n: Int, benchPred: String): String = {

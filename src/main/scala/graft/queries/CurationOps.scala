@@ -86,5 +86,34 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(contamination, stratified, repetition)
+  /** Sharded deterministic corpus shuffle (training order): 8 shards,
+    * per-shard positions — the full permutation layout, hash-checked.
+    */
+  val corpusShuffle: Q = Q(
+    "q65_corpus_shuffle",
+    Curation.duckCorpusShuffle(salt = "s42", nShards = 8)) { (s, d) =>
+    Curation.corpusShuffle(Tables.documents(s, d), salt = "s42", nShards = 8)
+      .select("shard", "pos", "doc_id", "shuffle_key")
+      .orderBy("shard", "pos")
+  }
+
+  /** Train/val/test split census per source: 98/1/1 hash split,
+    * stable under corpus growth, salt-independent of q53/q65.
+    */
+  val splitAssign: Q = Q(
+    "q66_split_assign",
+    s"""SELECT source, ${Curation.duckSplitExpr("split7", 98, 1)} AS split,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM documents
+       |GROUP BY source, split
+       |ORDER BY source, split""".stripMargin) { (s, d) =>
+    Curation.splitAssign(Tables.documents(s, d), salt = "split7", trainPct = 98, valPct = 1)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source", "split")
+  }
+
+  val all: Seq[Q] = Seq(contamination, stratified, repetition,
+    corpusShuffle, splitAssign)
 }

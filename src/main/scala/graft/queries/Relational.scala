@@ -375,9 +375,17 @@ object Relational {
 
   /** Correlated SCALAR subqueries (TPC-H Q17 shape: small-quantity
     * orders vs the per-part average), decorrelated by Catalyst into an
-    * aggregate + join on l_partkey. The avg comparison is multiplied
-    * out (2·qty·cnt < sum) in exact DECIMAL so no float division ever
-    * decides a row — cross-engine determinism per Q's conventions.
+    * aggregate + join on l_partkey per subquery. The avg comparison is
+    * multiplied out (2·qty·cnt < sum) in exact DECIMAL so no float
+    * division ever decides a row — cross-engine determinism per Q's
+    * conventions. Two subqueries ⇒ the fact table is scanned three
+    * times (outer + one aggregate per subquery): Spark decorrelates
+    * per-subquery and never merges correlated subqueries, and the
+    * folded single-subquery form (sum − 2·qty·cnt in one aggregate) is
+    * REJECTED by Spark — outer references are only allowed in
+    * WHERE/HAVING inside a subquery — so this is the minimal supported
+    * SQL-text shape. (A DataFrame user would write the groupBy+join
+    * directly and pay two scans.)
     */
   private val scalarSql =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

@@ -38,6 +38,47 @@ class CurationSpec extends SparkSpec {
     assert(!a.exists(_ >= 2000), "default threshold 0 must drop src2/src3")
   }
 
+  test("corpus shuffle: a true permutation, partition-independent, salt-sensitive") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = Curation.corpusShuffle(df, salt = "a", nShards = 4).collect()
+    // every doc appears exactly once
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == (0L until 400L).toSet)
+    // positions are contiguous 1..n within each shard
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.sameElements(1L to pos.length), s"shard $sh positions not contiguous")
+    }
+    // identical under repartition (no RNG state)
+    val again = Curation.corpusShuffle(df.repartition(7), salt = "a", nShards = 4)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(again == out.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+      r.getAs[Long]("doc_id"))).toSet)
+    // a different salt is a different permutation
+    val other = Curation.corpusShuffle(df, salt = "b", nShards = 4)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(other != again, "salt must change the permutation")
+  }
+
+  test("split assign: disjoint, exhaustive, stable under corpus growth, ~98/1/1") {
+    import spark.implicits._
+    val small = (0L until 2000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val grown = (0L until 4000L).map(i => (i, "s")).toDF("doc_id", "source")
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Curation.splitAssign(d, salt = "split7")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(small); val b = splits(grown)
+    assert(a.size == 2000 && b.size == 4000)
+    // growth never reassigns an existing doc (leakage safety)
+    assert(a.forall { case (id, s) => b(id) == s })
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(frac("train") > 0.95 && frac.getOrElse("val", 0.0) < 0.03 &&
+      frac.getOrElse("test", 0.0) < 0.03, s"split fractions off: $frac")
+  }
+
   test("repetition stats: boilerplate fails, varied text passes") {
     val out = Curation.repetitionStats(docs(
       (1L, "buy now buy now buy now buy now buy now"),
