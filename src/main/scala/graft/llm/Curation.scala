@@ -109,7 +109,11 @@ object Curation {
     *
     * Scale shape: one shuffle keyed on shard + a per-shard sort — a
     * distributed sort of (key, id) pairs, never a global single-
-    * partition window; text never enters the shuffle.
+    * partition window; text never enters the shuffle. Parallelism is
+    * bounded by nShards: size it like an output-file count
+    * (corpus_rows / ~10M per shard, thousands at 100 TB), never a
+    * small constant — the declared q65 uses 8 only because the oracle
+    * corpus is tiny.
     */
   def corpusShuffle(docs: DataFrame, salt: String, nShards: Int,
                     idCol: String = "doc_id"): DataFrame = {

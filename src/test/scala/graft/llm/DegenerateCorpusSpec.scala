@@ -73,6 +73,20 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(rep.count() == 5L)
   }
 
+  test("corpus shuffle / split assign: empty table empty, every dirty row routed exactly once") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.corpusShuffle(empty, "s", 4).count() == 0)
+    assert(Curation.splitAssign(empty, "s").count() == 0)
+    // shuffle and split key on the id, so null/empty/blank TEXT is
+    // irrelevant — all 6 rows must appear exactly once, none dropped
+    val shuffled = Curation.corpusShuffle(dirty, "s", 4).collect()
+    assert(shuffled.map(_.getAs[Long]("doc_id")).sorted.sameElements(1L to 6L))
+    val splits = Curation.splitAssign(dirty, "s").select("doc_id", "split").collect()
+    assert(splits.length == 6 &&
+      splits.forall(r => Set("train", "val", "test")(r.getString(1))))
+  }
+
   test("near-dup clustering on an empty pair set returns an empty frame, no throw") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

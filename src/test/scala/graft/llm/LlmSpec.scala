@@ -225,6 +225,13 @@ class LlmSpec extends SparkSpec {
     assert(back.getWidth == 25 && back.getHeight == 10)
     // scaled image keeps the top-light/bottom-dark structure
     assert((back.getRGB(12, 1) & 0xff) > 200 && (back.getRGB(12, 8) & 0xff) < 50)
+    // JPEG goes through the same ImageIO reader path
+    val jbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)), "jpg", jbaos)
+    val jdec = Multimodal.decodeImage(jbaos.toByteArray)
+    assert(jdec.exists { case (w, h, _) => w == 100 && h == 40 },
+      "JPEG must decode with true dimensions")
   }
 
   test("multimodal frame sampling fans out lazily with every-Nth selection") {
