@@ -1,5 +1,6 @@
 package graft.core
 
+import java.lang.ref.WeakReference
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
@@ -18,18 +19,34 @@ import org.apache.spark.sql.DataFrame
   * manager until the RDD handle is GC'd and the ContextCleaner runs —
   * in a long-lived session executing many checkpoint-heavy pipelines
   * (a bench loop, a server) that pressure grows unboundedly and can
-  * stall queries. Every localCheckpoint taken here is therefore
-  * tracked; call [[freeAll]] at a point where prior results are fully
-  * materialized to drop the blocks deterministically.
+  * stall queries. Every localCheckpoint taken here is therefore tracked
+  * through a WEAK reference: [[freeAll]] drops the blocks
+  * deterministically at a safe boundary, while a session that never
+  * calls it keeps exactly the pre-tracking behavior (GC +
+  * ContextCleaner reclaim blocks; the queue holds no strong refs and
+  * prunes cleared entries as it grows).
   */
 object Checkpoints {
 
   val DirConf = "spark.graft.checkpointDir"
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+  /** Plan-inspection/test hook: when "true", [[stable]] and [[pinned]]
+    * return their input unchanged so physical plans are NOT truncated at
+    * checkpoint boundaries (a truncated plan hides its sub-pipeline from
+    * plan-shape assertions). Never set it in production pipelines —
+    * iterative plans re-grow exponentially without truncation.
+    */
+  val DisabledConf = "spark.graft.checkpoint.disabled"
+
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[WeakReference[RDD[_]]]()
+
+  private def isDisabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(DisabledConf).contains("true")
 
   def stable(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (isDisabled(spark)) return df
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
         // idempotent: setCheckpointDir is cheap and the dir may change
@@ -46,16 +63,32 @@ object Checkpoints {
         cached.unpersist(blocking = false)
         out
       case _ =>
-        val sc = spark.sparkContext
-        val before = sc.getPersistentRDDs.keySet
         val out = df.localCheckpoint(eager = true)
-        // the blocks belong to the internal RDD that localCheckpoint
-        // persisted — diff the persistent-RDD registry to find it
-        // (public API; avoids reaching into LogicalRDD internals)
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!before.contains(id)) tracked.add(rdd)
+        // track the EXACT persisted RDD backing the checkpointed Dataset
+        // (its analyzed plan is the LogicalRDD wrapping it) — no registry
+        // diffing, so a concurrent thread's RDDs are never mis-tracked
+        checkpointRddOf(out).foreach { rdd =>
+          pruneCleared()
+          tracked.add(new WeakReference[RDD[_]](rdd))
         }
         out
+    }
+  }
+
+  private def checkpointRddOf(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  // amortized O(1) hygiene: cleared heads are dropped on every add, so a
+  // session that never calls freeAll keeps the queue bounded by its LIVE
+  // checkpoint RDDs, not its lifetime total
+  private def pruneCleared(): Unit = {
+    var head = tracked.peek()
+    while (head != null && head.get == null) {
+      tracked.poll()
+      head = tracked.peek()
     }
   }
 
@@ -64,30 +97,47 @@ object Checkpoints {
     * freed checkpoint cannot be recomputed — so only call this at a
     * boundary where every DataFrame built on prior checkpoints is fully
     * materialized and dead (between queries in a bench loop, after a
-    * merge-write commits). Unknown/already-freed RDDs are ignored.
+    * merge-write commits). Already-GC'd entries are skipped.
     */
   def freeAll(blocking: Boolean = false): Unit = {
-    var rdd = tracked.poll()
-    while (rdd != null) {
-      try rdd.unpersist(blocking) catch { case _: Throwable => () }
-      rdd = tracked.poll()
+    var ref = tracked.poll()
+    while (ref != null) {
+      val rdd = ref.get
+      if (rdd != null) {
+        try rdd.unpersist(blocking) catch { case _: Throwable => () }
+      }
+      ref = tracked.poll()
     }
   }
 
-  /** Number of tracked (not-yet-freed) checkpoint RDDs — test hook. */
-  def trackedCount: Int = tracked.size()
+  /** Number of tracked (not-yet-freed, not-yet-GC'd) checkpoint RDDs —
+    * test hook.
+    */
+  def trackedCount: Int = {
+    val it = tracked.iterator()
+    var n = 0
+    while (it.hasNext) if (it.next().get != null) n += 1
+    n
+  }
 
   /** Checkpoint WITHOUT freeAll tracking — for memoized pipeline
     * results that must stay valid ACROSS queries in a session (e.g. the
     * shared LSH-cluster result q55/q59 both read). Pin only small final
-    * results: pinned blocks live until the session ends.
+    * results: pinned blocks live until the RDD handle is GC'd (the memo
+    * holds it) or the session ends.
     */
   def pinned(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (isDisabled(spark)) return df
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
         spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // persist-first for the same reason as stable(): an uncached
+        // reliable checkpoint recomputes the whole lineage for the write
+        val cached = df.persist()
+        val out = cached.checkpoint(eager = true)
+        cached.unpersist(blocking = false)
+        out
       case _ => df.localCheckpoint(eager = true)
     }
   }

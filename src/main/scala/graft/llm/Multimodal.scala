@@ -98,9 +98,9 @@ object Multimodal {
     StructField("modality", StringType),
     StructField("byte_len", LongType),
     StructField("content_sha", StringType),
-    StructField("width", IntegerType),               // stub-decoded
-    StructField("height", IntegerType),              // stub-decoded
-    StructField("feat", ArrayType(FloatType))))      // stub embedding
+    StructField("width", IntegerType),               // real for images, stub otherwise
+    StructField("height", IntegerType),              // real for images, stub otherwise
+    StructField("feat", ArrayType(FloatType))))      // luminance bands / stub
 
   /** Wrap a `binaryFile` scan (path,length,content) into the media table
     * shape — the ingest mapping for real assets on disk.

@@ -151,16 +151,27 @@ object LlmOps {
     * 64-query session runs the most expensive pipeline in the suite
     * twice.
     */
-  private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
 
   private[queries] def sharedClusters(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    clusterMemo.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // evict entries whose session died (stopped context) so a harness
+    // that recreates sessions doesn't accumulate dead plans
+    clusterMemo.forEach((k, v) =>
+      if (v._1.sparkContext.isStopped) clusterMemo.remove(k, v))
+    def build() = {
       val pairs = Dedup.minhashLsh(Tables.documents(s, d))
         .filter(col("jaccard") >= 0.5)
-      graft.core.Checkpoints.pinned(Dedup.nearDupClusters(pairs, rounds = 4))
-    })
+      (s, graft.core.Checkpoints.pinned(Dedup.nearDupClusters(pairs, rounds = 4)))
+    }
+    val key = System.identityHashCode(s) + "|" + d
+    val cached = clusterMemo.computeIfAbsent(key, _ => build())
+    // identityHashCode can collide across sessions in a long-lived JVM —
+    // trust the entry only if it is literally this session's
+    if (cached._1 eq s) cached._2
+    else { val fresh = build(); clusterMemo.put(key, fresh); fresh._2 }
+  }
 
   /** Near-dup clustering (the dedup DECISION step): LSH pairs at
     * jaccard ≥ 0.5 → connected components by 4 fixed min-label +

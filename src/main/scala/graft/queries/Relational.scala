@@ -367,10 +367,24 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Run SQL text that references bare table names: register temp views,
+    * analyze, then drop the views. `spark.sql` analyzes EAGERLY, so the
+    * returned DataFrame's plan no longer needs the views — dropping them
+    * leaves no catalog residue, and the lock makes the register→analyze
+    * window atomic (concurrent runs against different dirs would
+    * otherwise silently resolve against each other's views).
+    */
+  private def sqlOverViews(s: SparkSession, sql: String,
+                           views: Map[String, DataFrame]): DataFrame =
+    Relational.synchronized {
+      views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      try s.sql(sql)
+      finally views.keys.foreach(s.catalog.dropTempView(_))
+    }
+
   val existsSubquery: Q = Q("q63_exists_subquery", existsSql) { (s, d) =>
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(existsSql)
+    sqlOverViews(s, existsSql, Map(
+      "orders" -> Tables.orders(s, d), "lineitem" -> Tables.lineitem(s, d)))
   }
 
   /** Correlated SCALAR subqueries (TPC-H Q17 shape: small-quantity
@@ -397,8 +411,7 @@ object Relational {
       |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
 
   val scalarSubquery: Q = Q("q64_scalar_subquery", scalarSql) { (s, d) =>
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(scalarSql)
+    sqlOverViews(s, scalarSql, Map("lineitem" -> Tables.lineitem(s, d)))
   }
 
   val all: Seq[Q] = Seq(

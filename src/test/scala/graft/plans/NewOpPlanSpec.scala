@@ -32,12 +32,40 @@ class NewOpPlanSpec extends SparkSpec {
   test("no declared query plans a cartesian product (the textbook 100x scale-killer)") {
     // BroadcastNestedLoopJoin with a bounded broadcast side (q16 bands,
     // q41 query set) is fine at scale; CartesianProductExec never is.
+    // NOTE: eager checkpoints truncate plans, so this covers the declared
+    // plan surface; the checkpoint-heavy sub-pipelines are re-checked
+    // un-truncated below.
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n${p.take(2000)}")
     }
+  }
+
+  test("checkpoint-heavy pipelines are cartesian-free in their FULL un-truncated plans") {
+    // spark.graft.checkpoint.disabled keeps stable()/pinned() from
+    // truncating lineage, so the assertions see every join the pipeline
+    // plans — a cross join hidden behind an eager checkpoint would pass
+    // the declared-query test above but fail here
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    spark.conf.set(graft.core.Checkpoints.DisabledConf, "true")
+    try {
+      val pipelines = Map(
+        "minhashLsh" -> graft.llm.Dedup.minhashLsh(docs),
+        "nearDupClusters" -> graft.llm.Dedup.nearDupClusters(
+          graft.llm.Dedup.minhashLsh(docs).filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5)),
+        "simhashPairs" -> graft.llm.Dedup.simhashPairs(docs),
+        "ivfTrain" -> graft.llm.IvfSearch.trainCentroids(emb, k = 8, iters = 1))
+      pipelines.foreach { case (name, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name hides a cartesian product behind its checkpoints:\n${p.take(2000)}")
+        assert(!p.contains("Scan ExistingRDD"),
+          s"$name: checkpoint disable hook did not take effect")
+      }
+    } finally spark.conf.unset(graft.core.Checkpoints.DisabledConf)
   }
 
   test("q43 production near-dup: LSH bucket equi-join, not a nested-loop pair scan") {
