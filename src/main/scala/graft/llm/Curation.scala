@@ -99,6 +99,42 @@ object Curation {
           col("top_token_ratio") <= maxTopToken)
   }
 
+  /** Token-budget sampling (data mixing by TOKENS, not documents): docs
+    * are laid out per source in deterministic md5-hash order and
+    * admitted while the source's cumulative token count at the doc's
+    * START is below its budget — so every source fills to its token
+    * target with an unbiased pseudo-random subset, the way mixture
+    * recipes are actually specified (e.g. "100B tokens of web, 20B of
+    * code"). The last admitted doc may overflow its budget by < its own
+    * length (same offset convention as sequence packing q60).
+    *
+    * Scale shape: one per-source sort-shuffle window over (key, tokens)
+    * pairs — text never enters the shuffle; the window is partitioned by
+    * source, so parallelism is bounded by source count. With few huge
+    * sources, pre-threshold with [[stratifiedSample]] at ~budget/total
+    * rate first, then exact-trim the small remainder with this op.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
+                        defaultBudget: Long, salt: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        stratumCol: String = "source"): DataFrame = {
+    val key = TextHash.md5Long(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("sample_key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(stratumCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        key.as("sample_key"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // admitted iff the budget was not yet exhausted when this doc starts
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
   /** Deterministic corpus shuffling (training-order permutation): every
     * document gets an md5 shuffle key from (id, salt), is routed to
     * `key % nShards`, and receives its position within the shard by
@@ -147,6 +183,31 @@ object Curation {
   }
 
   // ---- DuckDB oracle fragments (same constants, same arithmetic) ----
+
+  /** DuckDB: the token-budget sample pipeline (same key arithmetic;
+    * CAST the cumulative SUM to BIGINT — DuckDB windows SUM(BIGINT) as
+    * HUGEINT).
+    */
+  def duckTokenBudgetSample(budgets: Map[String, Long], defaultBudget: Long,
+                            salt: String): String = {
+    val key = TextHash.duckMd5Long(s"doc_id::VARCHAR || ':$salt'")
+    val budget =
+      if (budgets.isEmpty) defaultBudget.toString
+      else "(CASE " + budgets.toSeq.sortBy(_._1)
+        .map { case (s, b) => s"WHEN source = '$s' THEN $b" }
+        .mkString(" ") + s" ELSE $defaultBudget END)"
+    s"""SELECT source, doc_id, n_tokens, sample_key, cum_tokens FROM (
+       |  SELECT source, doc_id, n_tokens, sample_key,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY sample_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      $key AS sample_key
+       |    FROM documents))
+       |WHERE cum_tokens - n_tokens < $budget""".stripMargin
+  }
 
   /** DuckDB: the full sharded-shuffle pipeline (same key arithmetic). */
   def duckCorpusShuffle(salt: String, nShards: Int): String = {

@@ -114,6 +114,24 @@ object CurationOps {
       .orderBy("source", "split")
   }
 
+  private val tokenBudgets = Map("src0" -> 1000000L, "src1" -> 800L)
+  private val tokenDefault = 500L
+
+  /** Token-budget mixing: src0 effectively uncapped, src1 trimmed to
+    * 800 tokens, everything else to 500 (sources carry ~1.3k tokens at
+    * sf0.01, so the default trims well over half) — the admitted set is
+    * hash-order deterministic and every admitted row is hash-checked.
+    */
+  val tokenBudget: Q = Q(
+    "q67_token_budget_sample",
+    s"""${Curation.duckTokenBudgetSample(tokenBudgets, tokenDefault, salt = "mix1")}
+       |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    Curation.tokenBudgetSample(Tables.documents(s, d), tokenBudgets,
+      tokenDefault, salt = "mix1")
+      .select("source", "doc_id", "n_tokens", "sample_key", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(contamination, stratified, repetition,
-    corpusShuffle, splitAssign)
+    corpusShuffle, splitAssign, tokenBudget)
 }

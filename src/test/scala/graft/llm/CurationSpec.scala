@@ -79,6 +79,31 @@ class CurationSpec extends SparkSpec {
       frac.getOrElse("test", 0.0) < 0.03, s"split fractions off: $frac")
   }
 
+  test("token-budget sample: fills each source to its budget, deterministic, no row loss") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i =>
+      (i, s"src${i % 3}", Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val budgets = Map("src0" -> 10000L, "src1" -> 50L)
+    val out = Curation.tokenBudgetSample(df, budgets, defaultBudget = 30L, salt = "t")
+      .collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // src0's budget exceeds its total -> everything admitted
+    assert(bySrc("src0").length == 100, "uncapped source must keep all docs")
+    for ((src, budget) <- Seq("src1" -> 50L, "src2" -> 30L)) {
+      val rows = bySrc(src).sortBy(r => (r.getAs[Long]("sample_key"), r.getAs[Long]("doc_id")))
+      // every admitted doc started under budget; the set fills the budget
+      rows.foreach(r => assert(
+        r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < budget))
+      assert(rows.last.getAs[Long]("cum_tokens") >= budget,
+        s"$src under-filled: ${rows.last.getAs[Long]("cum_tokens")} of $budget")
+    }
+    // identical admitted set under repartition
+    val again = Curation.tokenBudgetSample(df.repartition(13), budgets, 30L, salt = "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("repetition stats: boilerplate fails, varied text passes") {
     val out = Curation.repetitionStats(docs(
       (1L, "buy now buy now buy now buy now buy now"),
