@@ -116,6 +116,25 @@ object CorpusStatsOps {
       .limit(100)
   }
 
+  /** The 100 TB path for [[vocabTopK]]: ONE hash aggregation with an
+    * HLL sketch (approx_count_distinct) for document frequency — no
+    * stacked (token, doc_id) pre-aggregation shuffle, so the hot-token
+    * skew never ships exact id sets anywhere. freq stays EXACT (it's a
+    * plain count); only doc_freq is approximate (relative error ≈ rsd).
+    * Not oracle-checked (HLL internals are engine-specific); the exact
+    * q58 IS its oracle, and CorpusStatsSpec pins the error bound.
+    */
+  def vocabTopKApprox(docs: org.apache.spark.sql.DataFrame, minDf: Long = 5,
+                      topK: Int = 100, rsd: Double = 0.02): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"),
+        approx_count_distinct(col("doc_id"), rsd).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(topK)
+
   /** The dedup KEEP decision, end to end: near-dup clusters (q55's
     * pipeline) joined back to the corpus, keeping the longest document
     * per cluster (ties to the smallest doc_id) — the standard

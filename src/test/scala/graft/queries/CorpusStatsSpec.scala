@@ -113,6 +113,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "approx path must not need a per-group sort")
   }
 
+  test("approx vocab scale path: exact freq, doc_freq within HLL bound, one aggregation") {
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = SparkEntry.queries("q58_vocab_topk")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = CorpusStatsOps.vocabTopKApprox(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.nonEmpty)
+    // freq is a plain count — must match the exact path token-for-token
+    val shared = exact.keySet intersect approx.keySet
+    assert(shared.size >= (exact.size * 0.9).toInt,
+      s"top-k sets diverged: ${shared.size} of ${exact.size} shared")
+    shared.foreach { t => assert(approx(t)._1 == exact(t)._1,
+      s"freq must be exact for $t: ${approx(t)._1} != ${exact(t)._1}") }
+    // doc_freq within a generous multiple of the 2% rsd
+    shared.foreach { t =>
+      val (e, a) = (exact(t)._2.toDouble, approx(t)._2.toDouble)
+      assert(math.abs(a - e) / e <= 0.10, s"doc_freq off for $t: $a vs $e")
+    }
+    // plan shape: ONE aggregation pair (partial+final), no stacked groupBy
+    val p = CorpusStatsOps.vocabTopKApprox(docs).queryExecution.executedPlan.toString
+    assert(p.contains("partial"), "missing map-side partial aggregation")
+    assert(!p.contains("Expand"), "HLL path must not expand for count-distinct")
+  }
+
   test("q57 plan: no join; q59 plan: text never enters the window shuffle") {
     val p57 = SparkEntry.queries("q57_token_percentiles")(spark, sf)
       .queryExecution.executedPlan.toString
