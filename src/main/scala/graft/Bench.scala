@@ -41,10 +41,16 @@ object Bench {
       graft.core.Checkpoints.freeAll()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness that captures this output keeps only the LAST ~2KB. With
+    // 60+ queries the map alone exceeds that, so emit `queries` first and
+    // the headline metric/value fields last (JSON key order is ours to
+    // choose), with per-query times rounded to ms — the summary then always
+    // survives tail-truncation.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000 else 0.0
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
