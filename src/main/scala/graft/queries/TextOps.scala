@@ -131,21 +131,44 @@ object TextOps {
       .orderBy("shingle")
   }
 
+  /** Document-frequency cap for exact Jaccard candidate generation
+    * (q35). A shingle shared by more than this many documents is
+    * corpus-stopword-like: it contributes ~zero Jaccard signal (a pair
+    * that is a real near-dup shares plenty of *rare* shingles too) but
+    * quadratic pair fan-out — one shingle in 10^6 docs would make a
+    * single task materialize a 10^6-element list and emit ~10^12 pairs.
+    * Capping df bounds per-key work at MaxDf^2/2 pairs, which is what
+    * makes exact pair enumeration survive a skewed 100 TB corpus.
+    * The DuckDB oracle applies the identical predicate, so the query
+    * stays hash-green at every sf.
+    */
+  val JaccardMaxDf = 64
+
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
     * equi-join on shingle (banding-style candidate generation), score
     * |A∩B| / |A∪B|, threshold. This is the exact oracle that the MinHash
     * LSH pipeline (graft.llm.MinHashDedup) approximates.
+    *
+    * Hot-shingle safety: shingles with df > [[JaccardMaxDf]] are dropped
+    * BEFORE any list is collected — the df pre-pass is a count-only hash
+    * aggregate (map-side partial, constant state per key), so a
+    * pathological shingle shared by every document costs one counter,
+    * not a collected list. Intersections are then computed only over
+    * surviving shingles (denominator stays the full set size; both
+    * engines agree bit-for-bit).
     */
   val jaccardPairs: Q = Q(
     "q35_jaccard_pairs", {
       import graft.llm.TextHash
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, UNNEST(${TextHash.duckShingleHashes(3)}) AS shingle
          |  FROM documents),
+         |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $JaccardMaxDf),
+         |shk AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY doc_a, doc_b)
          |SELECT doc_a, doc_b,
          |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
@@ -163,12 +186,20 @@ object TextOps {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash64(col("text"), 3)).as("shingle"))
+    // df cap pre-pass: count-only agg (no lists), then semi-join. Both
+    // the agg and the join shuffle on the same 8-byte shingle key, so
+    // AQE reuses the exchange rather than re-exploding the corpus.
+    val keep = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= JaccardMaxDf)
+      .select(col("shingle"))
     // |shingle set| = array size (the kernel already dedups): map-only,
     // instead of re-running the kernel + an explode + a groupBy shuffle
     val sizes = Tables.documents(s, d)
       .select(col("doc_id"),
         size(graft.functions.ShingleHash64(col("text"), 3)).cast("long").as("n"))
     val pairs = sh
+      .join(keep, Seq("shingle"), "left_semi")
       .groupBy(col("shingle")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
