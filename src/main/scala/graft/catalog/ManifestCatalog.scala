@@ -7,6 +7,7 @@ import graft.model.{ManifestEntry, Schemas}
 import java.io.RandomAccessFile
 import java.nio.channels.FileLock
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The lake's manifest catalog (SURVEY §7.1 #3) — one row per physical
   * data file, same columns as the reference's SQLite `manifest` table
@@ -23,9 +24,24 @@ import java.nio.file.{Files, Paths}
   * as a single base segment so reads stay O(1 file) under many commits.
   *
   * Concurrency: the reference got serialized writers from SQLite's file
-  * lock (30 s busy timeout, `manifest.py:52-55`); here a `FileLock` on
-  * `_manifest/.lock` serializes commits (driver-side, one lake = one
-  * writer at a time — SURVEY §7.4 #4). Readers never take the lock.
+  * lock (30 s busy timeout, `manifest.py:52-55`). Here the commit point
+  * is an ATOMIC CREATE-EXCLUSIVE publish: the batch is staged as one
+  * parquet file, then hard-linked into the log as `{seq}.parquet` —
+  * link(2) fails with EEXIST if the seq is taken, and the loser retries
+  * with the next seq. `_seq` is derived from the FILE NAME at read
+  * time, so claim and data publish are a single atomic operation and
+  * correctness never depends on an advisory flock (which is a no-op on
+  * object stores — there, swap the link for an if-none-match PUT; the
+  * Delta/Iceberg commit protocols are this same shape). Readers never
+  * coordinate. Two concurrent writer PROCESSES therefore produce a
+  * gapless, duplicate-free sequence (ConcurrentCommitSpec).
+  *
+  * compact() appends the snapshot as a base segment whose rows KEEP
+  * their original `_seq` (an `_seq_override` column wins over the file
+  * name), so a commit that lands concurrently with a compaction still
+  * outranks the compacted copy of the same path — compaction can never
+  * shadow a newer write. The only remaining serialized op is compact vs
+  * compact (old-file deletion), guarded best-effort by monitor+flock.
   *
   * At 100 TB the catalog is still tiny (1 row per file ⇒ millions of
   * rows, a few hundred MB) — a single-node commit path with distributed
@@ -35,6 +51,40 @@ object ManifestCatalog {
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[catalog] def monitorFor(path: String): Object =
     monitors.computeIfAbsent(path, _ => new Object)
+
+  private val SeqName = """^(\d{20})\.parquet$""".r
+
+  /** Highest seq currently published in `logDir` (0 for an empty log). */
+  private[catalog] def maxFileSeq(logDir: String): Long = {
+    val s = Files.list(Paths.get(logDir))
+    try {
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case SeqName(d) => d.toLong }
+        .foldLeft(0L)(math.max)
+    } finally s.close()
+  }
+
+  /** The lock-free commit point: atomically hard-link `part` into the
+    * log as `{seq}.parquet` at the next free seq. link(2) is
+    * create-exclusive, so exactly one writer wins each seq; losers see
+    * FileAlreadyExistsException and retry one higher. Pure java.nio —
+    * no Spark, no locks — so concurrent writer PROCESSES are safe
+    * (exercised for real by ConcurrentCommitSpec's forked JVMs).
+    */
+  private[catalog] def publishExclusive(logDir: String, part: java.nio.file.Path): Long = {
+    var seq = maxFileSeq(logDir) + 1
+    var published = false
+    while (!published) {
+      try {
+        Files.createLink(Paths.get(f"$logDir/$seq%020d.parquet"), part)
+        published = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          seq = math.max(seq + 1, maxFileSeq(logDir) + 1)
+      }
+    }
+    seq
+  }
 }
 
 final class ManifestCatalog(spark: SparkSession, root: String) {
@@ -42,12 +92,12 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
 
   private val dir = s"$root/_manifest"
   private val logDir = s"$dir/log"
-  private val seqFile = Paths.get(s"$dir/.seq")
   private val lockFile = s"$dir/.lock"
 
   Files.createDirectories(Paths.get(logDir))
 
-  /** Commit serialization is two-level: a JVM monitor per lock path
+  /** Best-effort serialization for compact-vs-compact ONLY (commit
+    * correctness does not need it): a JVM monitor per lock path
     * (FileLock throws OverlappingFileLockException for same-process
     * contention — it only serializes ACROSS processes), then the
     * advisory FileLock for other driver processes sharing the lake.
@@ -60,10 +110,28 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
       finally { if (lock != null) lock.release(); raf.close() }
     }
 
-  private def nextSeq(): Long = {
-    val cur = if (Files.exists(seqFile)) new String(Files.readAllBytes(seqFile)).trim.toLong else 0L
-    Files.write(seqFile, (cur + 1).toString.getBytes)
-    cur + 1
+  /** Stage `df` as one parquet file, then publish it at the next free
+    * seq via [[ManifestCatalog.publishExclusive]]. Returns the claimed
+    * seq. The file's data never changes during a claim retry, only its
+    * eventual name, so a collision costs a link(2), not a rewrite.
+    */
+  private def commitBatch(df: DataFrame): Long = {
+    val staging = Paths.get(s"$dir/tmp/${java.util.UUID.randomUUID}")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val part = {
+      val s = Files.list(staging)
+      try s.iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file staged in $staging"))
+      finally s.close()
+    }
+    val seq = ManifestCatalog.publishExclusive(logDir, part)
+    // scratch cleanup is non-critical: the link already published the data
+    val s = Files.walk(staging)
+    try s.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.deleteIfExists(p))
+    finally s.close()
+    seq
   }
 
   private def normalized(e: ManifestEntry): ManifestEntry = e.copy(
@@ -77,15 +145,13 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
     * to its last entry per path (caller order), the same last-wins the
     * log gives across batches.
     */
-  def addEntries(entries: Seq[ManifestEntry]): Unit = withLock {
-    val seq = nextSeq()
+  def addEntries(entries: Seq[ManifestEntry]): Unit = {
     val lastPerPath = entries.map(normalized).zipWithIndex
       .groupBy(_._1.path).valuesIterator.map(_.maxBy(_._2)._1).toSeq
-    lastPerPath.toDF()
-      .withColumn("_seq", lit(seq))
+    commitBatch(lastPerPath.toDF()
       .withColumn("_deleted", lit(false))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(logDir)
+      .withColumn("_seq_override", lit(null).cast("long")))
+    ()
   }
 
   def addEntry(e: ManifestEntry): Unit = addEntries(Seq(e))
@@ -95,28 +161,33 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
     */
   def deleteEntries(exchange: Option[String] = None, market: Option[String] = None,
                     symbol: Option[String] = None, `type`: Option[String] = None,
-                    path: Option[String] = None): Long = withLock {
+                    path: Option[String] = None): Long = {
     val victims = filtered(snapshot(), exchange, market, symbol, `type`, path)
     val n = victims.count()
     if (n > 0) {
-      val seq = nextSeq()
-      victims
-        .withColumn("_seq", lit(seq))
+      commitBatch(victims
         .withColumn("_deleted", lit(true))
-        .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(logDir)
+        .withColumn("_seq_override", lit(null).cast("long")))
     }
     n
   }
 
+  /** The log with `_seq` materialized: the publishing file's name, unless
+    * the row carries an `_seq_override` (compacted rows keep the seq they
+    * were ORIGINALLY committed under, so compaction cannot outrank a
+    * concurrent new commit).
+    */
   private def rawLog(): DataFrame =
     spark.read.schema(logSchema).parquet(logDir)
+      .withColumn("_seq", coalesce(col("_seq_override"),
+        regexp_extract(col("_metadata.file_name"), "^(\\d+)\\.parquet$", 1).cast("long")))
+      .drop("_seq_override")
 
   private lazy val logSchema = {
     import org.apache.spark.sql.types._
     org.apache.spark.sql.Encoders.product[ManifestEntry].schema
-      .add(StructField("_seq", LongType))
       .add(StructField("_deleted", BooleanType))
+      .add(StructField("_seq_override", LongType))
   }
 
   /** Current catalog state: latest `_seq` per path, tombstones dropped. */
@@ -189,12 +260,20 @@ final class ManifestCatalog(spark: SparkSession, root: String) {
       new java.net.URI(logDir), spark.sparkContext.hadoopConfiguration)
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val oldFiles = fs.listStatus(logPath).map(_.getPath)
-    val seq = nextSeq()
-    snapshot()
-      .withColumn("_seq", lit(seq))
-      .withColumn("_deleted", lit(false))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(logDir)
+    // keep-latest per path WITH each row's original _seq: the compacted
+    // base claims a new file seq, but its rows rank as of when they were
+    // first committed — a write landing mid-compaction still wins.
+    val w = Window.partitionBy(col("path")).orderBy(col("_seq").desc)
+    val base = rawLog()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn")
+      .withColumn("_seq_override", col("_seq"))
+      .drop("_seq")
+      // the staged write re-reads the log while old files still exist;
+      // localCheckpoint pins the rows so deletion below can't race reads
+      .localCheckpoint(true)
+    commitBatch(base)
     oldFiles.foreach(p => fs.delete(p, false))
   }
 }

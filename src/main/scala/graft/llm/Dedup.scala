@@ -151,29 +151,89 @@ object Dedup {
     * sides); lineage is truncated per round so the plan stays flat.
     */
   def nearDupClusters(pairs: DataFrame, rounds: Int = 4,
-                      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+                      aCol: String = "doc_a", bCol: String = "doc_b",
+                      assertConverged: Boolean = false): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
       .pipe(graft.core.Checkpoints.stable)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
-    for (_ <- 0 until rounds) {
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("y"), col("label")), Seq("y"))
-        .select(col("x").as("id"), col("label"))
-      // pointer jump: label(x) <- label(label(x)); every label is a node
-      // id present in `labels`, so the join never drops rows
-      val viaPointer = labels.as("a")
-        .join(labels.select(col("id").as("lid"), col("label").as("plabel")).as("b"),
-          col("a.label") === col("b.lid"))
-        .select(col("a.id").as("id"), col("plabel").as("label"))
-      labels = labels.select("id", "label").union(viaNeighbor).union(viaPointer)
-        .groupBy("id").agg(min("label").as("label"))
-        .pipe(graft.core.Checkpoints.stable)
+    for (_ <- 0 until rounds) labels = propagate(edges, labels)
+    if (assertConverged) {
+      // one probe round: if ANY label would still move, the fixed round
+      // count silently split a connected component — fail loudly instead
+      // of returning deterministic-but-wrong clusters (VERDICT r5 #2).
+      val changed = countChanged(labels, propagate(edges, labels))
+      if (changed > 0) throw new IllegalStateException(
+        s"nearDupClusters: $changed labels still moving after $rounds rounds — " +
+          "a component exceeds the diameter this round count covers; " +
+          "use nearDupClustersFixedPoint or raise `rounds`")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"),
       (col("id") === col("label")).as("is_canonical"))
   }
+
+  /** Iterate-to-fixed-point form of [[nearDupClusters]]: identical
+    * per-round arithmetic, but rounds continue until no label changes,
+    * so arbitrarily deep components fully merge. Pointer jumping makes
+    * covered diameter ~2^rounds, so even a 10^9-node path needs ~31
+    * rounds; `maxRounds` is a runaway bound, not a semantic knob.
+    * Each round is checkpointed (constant-depth lineage) and the
+    * convergence probe is a count over the two latest (id,label) sets —
+    * one cheap action per round, nothing collected to the driver.
+    */
+  def nearDupClustersFixedPoint(pairs: DataFrame, maxRounds: Int = 40,
+                                aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .pipe(graft.core.Checkpoints.stable)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .pipe(graft.core.Checkpoints.stable)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (round >= maxRounds) throw new IllegalStateException(
+        s"nearDupClustersFixedPoint: not converged after $maxRounds rounds " +
+          "(pointer jumping covers diameter ~2^rounds — this indicates a bug, " +
+          "not a deep graph)")
+      val next = propagate(edges, labels)
+      changed = countChanged(labels, next)
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** One synchronous min-label round: own label, neighbors' labels, and
+    * the label of the current label (pointer jump) — all read from the
+    * PREVIOUS round, so the result is execution-order independent.
+    * Checkpointed: constant-depth lineage regardless of round count.
+    */
+  private def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbor = edges
+      .join(labels.select(col("id").as("y"), col("label")), Seq("y"))
+      .select(col("x").as("id"), col("label"))
+    // pointer jump: label(x) <- label(label(x)); every label is a node
+    // id present in `labels`, so the join never drops rows
+    val viaPointer = labels.as("a")
+      .join(labels.select(col("id").as("lid"), col("label").as("plabel")).as("b"),
+        col("a.label") === col("b.lid"))
+      .select(col("a.id").as("id"), col("plabel").as("label"))
+    labels.select("id", "label").union(viaNeighbor).union(viaPointer)
+      .groupBy("id").agg(min("label").as("label"))
+      .pipe(graft.core.Checkpoints.stable)
+  }
+
+  /** Number of ids whose label differs between two checkpointed label
+    * sets (same id universe by construction).
+    */
+  private def countChanged(prev: DataFrame, next: DataFrame): Long =
+    prev.select(col("id"), col("label").as("prev_label"))
+      .join(next, Seq("id"))
+      .filter(col("label") =!= col("prev_label"))
+      .count()
 
   /** DuckDB: `rounds` synchronous min-label + pointer-jump iterations
     * over an `edges(doc_a, doc_b)` CTE — identical arithmetic to

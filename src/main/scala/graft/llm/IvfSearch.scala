@@ -178,6 +178,47 @@ object IvfSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** A reopened IVF index: tiny centroids + the cluster-partitioned
+    * corpus scan (probe prunes to nProbe of the partition dirs).
+    */
+  final case class IvfIndex(centroids: DataFrame, index: DataFrame)
+
+  /** Persist a trained index to the lake so search never retrains per
+    * session (VERDICT r5 #8): centroids land as one tiny parquet, the
+    * assigned corpus is written PARTITIONED BY cluster — at scale a
+    * probe therefore reads only nProbe/k of the data directories
+    * (partition pruning on the `cluster` join key), and the index
+    * build's shuffle is paid once, at write time. Optionally registers
+    * the index in the manifest catalog like a feature set (`type` =
+    * index name), so discovery/versioning flow through the same
+    * catalog queries as any other artifact.
+    */
+  def saveIndex(root: String, name: String, version: String,
+                centroids: DataFrame, index: DataFrame,
+                catalog: Option[graft.catalog.ManifestCatalog] = None): String = {
+    val dir = s"$root/ivf/$name/$version"
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
+    catalog.foreach(_.addEntry(graft.model.ManifestEntry(
+      exchange = "", market = "", symbol = "", path = dir, `type` = name,
+      time_from = 0L, time_to = 0L, version = version, checksum = "",
+      created_at = System.currentTimeMillis(), script_git_hash = "",
+      metadata_json = s"""{"kind":"ivf_index"}""")))
+    dir
+  }
+
+  /** Reopen a persisted index — a fresh session searches the SAME
+    * trained centroids/assignments (bit-exact vs the building session,
+    * IvfSpec), instead of re-running Lloyd.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                root: String, name: String, version: String): IvfIndex = {
+    val dir = s"$root/ivf/$name/$version"
+    IvfIndex(
+      centroids = spark.read.parquet(s"$dir/centroids"),
+      index = spark.read.parquet(s"$dir/index"))
+  }
+
   // ---- DuckDB oracle generation (same constants, same arithmetic) ----
 
   /** DuckDB: sequential double dot product of two REAL lists. */

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode/resize is REAL: `javax.imageio` (JDK-bundled — PNG,
   * JPEG, GIF, BMP readers) decodes true dimensions, extracts a
-  * luminance-band feature, and re-encodes resizes. Bytes no registered
-  * reader understands (video containers, audio, corrupt payloads) fall
-  * back to the clearly-marked deterministic STUB so the batch pipeline
-  * still exercises end-to-end; swap the stub for a JNI/codec call and
-  * nothing else changes.
+  * luminance-band feature, and re-encodes resizes. AUDIO decode is
+  * REAL: `javax.sound.sampled` (JDK-bundled — WAV, AIFF, AU readers)
+  * extracts true sample rate, channels, duration, and per-channel RMS.
+  * Bytes no registered reader understands (video containers, corrupt
+  * payloads) fall back to the clearly-marked deterministic STUB so the
+  * batch pipeline still exercises end-to-end; swap the stub for a
+  * JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -114,10 +116,92 @@ object Multimodal {
         struct(col("path").as("source"), lit("application/octet-stream").as("mime"),
           unix_millis(col("modificationTime")).as("created_ms")).as("meta"))
 
-  /** STUB decode — fallback for payloads [[decodeImage]] can't read
-    * (video/audio/corrupt bytes; a real video/audio codec would go here
-    * (???)): derives (width, height, 8-dim feature) from content bytes
-    * so the batch pipeline still runs deterministically end-to-end.
+  /** Decoded audio metadata + per-channel RMS amplitude feature. */
+  final case class AudioMeta(sampleRate: Float, channels: Int, frames: Long,
+                             durationMs: Long, rms: Array[Float])
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV, AIFF,
+    * AU readers ship with a stock JDK — no codec dependency): true
+    * sample rate, channel count, frame count, duration, and a
+    * per-channel RMS amplitude feature, computed streaming over 16-bit
+    * PCM conversion in 4096-frame chunks (constant memory at any clip
+    * length). None when no registered reader accepts the payload
+    * (video containers, corrupt bytes → [[decodeStub]]).
+    */
+  def decodeAudio(content: Array[Byte]): Option[AudioMeta] = {
+    if (content == null || content.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val base = in.getFormat
+        val ch = base.getChannels
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, ch, ch * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val frameSize = fmt.getFrameSize
+        val buf = new Array[Byte](frameSize * 4096)
+        val sumSq = new Array[Double](ch)
+        var frames = 0L
+        var n = pcm.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i + frameSize <= n) { // AudioInputStream reads whole frames
+            var c = 0
+            while (c < ch) {
+              val lo = buf(i + 2 * c) & 0xff
+              val hi = buf(i + 2 * c + 1)
+              val s = ((hi << 8) | lo).toShort / 32768.0
+              sumSq(c) += s * s
+              c += 1
+            }
+            frames += 1
+            i += frameSize
+          }
+          n = pcm.read(buf)
+        }
+        val rms = sumSq.map(x => if (frames == 0L) 0.0f else math.sqrt(x / frames).toFloat)
+        Some(AudioMeta(base.getSampleRate, ch, frames,
+          math.round(frames * 1000.0 / base.getSampleRate), rms))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Audio-feature schema produced by [[featurizeAudio]]. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("rms", ArrayType(FloatType))))       // one entry per channel
+
+  /** Batch audio feature extraction — the audio analog of [[featurize]]:
+    * per-partition streaming rows, real decode for WAV/AIFF/AU, null row
+    * fields (except id) for payloads no reader accepts.
+    */
+  def featurizeAudio(media: DataFrame): DataFrame = {
+    val rows: Dataset[Row] = media.select("media_id", "content")
+      .repartition(col("media_id"))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decodeAudio(r.getAs[Array[Byte]]("content")) match {
+          case Some(a) =>
+            Row(r.getAs[Long]("media_id"), a.sampleRate, a.channels,
+              a.frames, a.durationMs, a.rms.toSeq)
+          case None =>
+            Row(r.getAs[Long]("media_id"), null, null, null, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(audioFeatureSchema)).toDF()
+  }
+
+  /** STUB decode — fallback for payloads neither [[decodeImage]] nor
+    * [[decodeAudio]] can read (video containers, corrupt bytes; a real
+    * video codec would go here (???)): derives (width, height, 8-dim
+    * feature) from content bytes so the batch pipeline still runs
+    * deterministically end-to-end.
     */
   def decodeStub(content: Array[Byte]): (Int, Int, Array[Float]) = {
     if (content == null || content.isEmpty) (0, 0, Array.fill(8)(0.0f))
@@ -219,7 +303,13 @@ object Multimodal {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         val content = r.getAs[Array[Byte]]("content")
-        val (w, h, feat) = decodeImage(content).getOrElse(decodeStub(content))
+        // decode chain: real image, then real audio (width:=sample rate,
+        // height:=channels, feat:=per-channel RMS zero-padded to 8 — the
+        // modality column disambiguates), then the deterministic stub
+        val (w, h, feat) = decodeImage(content)
+          .orElse(decodeAudio(content).map(a =>
+            (a.sampleRate.toInt, a.channels, a.rms.padTo(8, 0.0f))))
+          .getOrElse(decodeStub(content))
         val digest =
           if (content == null) ""
           else { sha.reset(); sha.digest(content).map("%02x".format(_)).mkString }

@@ -163,7 +163,12 @@ object LlmOps {
     def build() = {
       val pairs = Dedup.minhashLsh(Tables.documents(s, d))
         .filter(col("jaccard") >= 0.5)
-      (s, graft.core.Checkpoints.pinned(Dedup.nearDupClusters(pairs, rounds = 4)))
+      // assertConverged: if a component ever exceeds the diameter 4
+      // rounds cover, fail loudly (both engines would otherwise agree on
+      // identically-wrong half-merged clusters). The probe costs one
+      // extra round over the tiny (id,label) set.
+      (s, graft.core.Checkpoints.pinned(
+        Dedup.nearDupClusters(pairs, rounds = 4, assertConverged = true)))
     }
     val key = System.identityHashCode(s) + "|" + d
     val cached = clusterMemo.computeIfAbsent(key, _ => build())

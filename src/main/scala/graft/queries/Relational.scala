@@ -218,17 +218,25 @@ object Relational {
       .orderBy("n_name", "rnk")
   }
 
-  /** Running-sum analytic frame within a natural key (W6 rowsBetween). */
+  /** Running-sum analytic frame within a natural key (W6 rowsBetween).
+    *
+    * The ROWS frame orders by (l_linenumber, l_quantity): l_linenumber
+    * alone is NOT unique per order, and a ROWS frame over tied rows with
+    * different quantities assigns engine-dependent running sums (caught
+    * for real by the sf1 gate — sf0.01/sf0.1 just never drew an unlucky
+    * tie). With quantity as the tie-break, remaining ties have EQUAL
+    * increments, so the result multiset is deterministic.
+    */
   val runningSum: Q = Q(
     "q10_running_sum",
     """SELECT l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-      |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem
       |WHERE l_orderkey < 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .filter(col("l_orderkey") < 1000)

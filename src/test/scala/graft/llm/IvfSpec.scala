@@ -71,4 +71,30 @@ class IvfSpec extends SparkSpec {
     // ANN-hostile, so expect moderate-but-real recall
     assert(recall >= 0.35, s"IVF recall unexpectedly low: $recall")
   }
+
+  test("persisted index: a fresh session reopens it and searches bit-exactly, no retrain") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val centroids = IvfSearch.trainCentroids(emb, k = 8, iters = 1)
+    val index = IvfSearch.buildIndex(emb, centroids)
+    val queries = emb.filter(col("vec_id") < 3)
+    def hits(c: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame,
+             q: org.apache.spark.sql.DataFrame) =
+      IvfSearch.topK(i, c, q, k = 5, nProbe = 2)
+        .select("q_id", "n_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inSession = hits(centroids, index, queries)
+
+    val root = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    val cat = new graft.catalog.ManifestCatalog(spark, root)
+    IvfSearch.saveIndex(root, "doc_ann", "1", centroids, index, Some(cat))
+
+    // fresh session state: reads the persisted artifacts, not the plans
+    val s2 = spark.newSession()
+    val reopened = IvfSearch.loadIndex(s2, root, "doc_ann", "1")
+    val q2 = graft.Tables.embeddings(s2, "/root/testdata/sf0.001").filter(col("vec_id") < 3)
+    assert(hits(reopened.centroids, reopened.index, q2) == inSession,
+      "reopened index must reproduce the building session's search exactly")
+    // and it is discoverable like any versioned artifact
+    assert(cat.latestVersion("doc_ann").contains("1"))
+  }
 }
