@@ -33,24 +33,29 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // free each query's localCheckpoint blocks OUTSIDE its timing —
       // lingering checkpoint blocks across 124 executions grow
       // block-manager pressure unboundedly (the r3 q59 stall class)
       graft.core.Checkpoints.freeAll()
-      name -> dt
-    }.toMap
+      // a failed query reports -1, never a misleading partial elapsed time
+      (name, if (ok) math.rint(dt * 1000) / 1000 else -1.0)
+    }
     // The harness that captures this output keeps only the LAST ~2KB. With
     // 60+ queries the map alone exceeds that, so emit `queries` first and
     // the headline metric/value fields last (JSON key order is ours to
     // choose), with per-query times rounded to ms — the summary then always
     // survives tail-truncation.
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+    val qs = results
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) math.rint(results.values.sum * 1000) / 1000 else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":$total,"unit":"sec"}""")
+    val failed = results.count(_._2 < 0)
+    // total = sum of the PRINTED per-query values, so the artifact is
+    // self-consistent (a reader summing the map reproduces `value` exactly);
+    // failed queries (-1 markers) are excluded from the sum
+    val total = math.rint(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
