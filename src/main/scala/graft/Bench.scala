@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] at sub-GB scale: the default 128 MB split starves
+      // parallelism — a single-file 116 MB table becomes ONE scan task
+      // and a per-row kernel (JSON parse, shingling) runs 1-threaded.
+      // 8 MB yields ~CPU-count splits at sf1. On a real cluster with
+      // TB inputs the 128 MB default is correct — this is bench-local.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
       // defense in depth against block-manager pressure from 124 query
       // executions in one JVM: periodic GC lets the ContextCleaner drop
       // unreferenced shuffle/broadcast/RDD state even between freeAll calls

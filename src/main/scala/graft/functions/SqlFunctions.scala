@@ -53,6 +53,13 @@ object SqlFunctions {
     ("byte_vec_dot",
       "byte_vec_dot(a, b) - exact long dot product of two int8-quantized arrays",
       args => ByteVecDot(args(0), args(1))),
+    ("json_get",
+      "json_get(json, key) - top-level JSON field as string (get_json_object minus the per-row parser)",
+      args => JsonGetExpr(args.head, args(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"json_get: key must be a string literal, got $other")
+      })),
     ("lang_id",
       "lang_id(text[, min_score]) - best-scoring language id, NULL below min_score (default 0.02)",
       args => LangIdExpr(args.head,

@@ -150,12 +150,19 @@ object EventsOps {
       |WHERE json_extract_string(props, '$.k') IS NOT NULL
       |GROUP BY k_bucket
       |ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    // Parse the JSON ONCE per row (a pre-agg filter on the parsed key
+    // would be a separate Filter operator re-evaluating the extraction;
+    // no cross-operator CSE) and with the fused jsonGet kernel, not
+    // get_json_object — the built-in acquires a Jackson parser per row
+    // through a ThreadLocal pool whose degradation made this query swing
+    // 1.8 s ↔ 144 s at sf1 (see JsonGetExpr). Rows with an unparseable
+    // key land in the null bucket and are dropped post-agg.
     Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .filter(col("k").isNotNull)
-      .groupBy((col("k") % 10).as("k_bucket"))
+      .groupBy((graft.functions.JsonGetExpr.jsonGet(col("props"), "k")
+        .cast("long") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("total_value"))
+      .filter(col("k_bucket").isNotNull)
       .orderBy("k_bucket")
   }
 
@@ -254,7 +261,8 @@ object EventsOps {
       |ORDER BY bar_ms, side""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .withColumn("t", timestamp_micros(Tables.nsToUs("ts")))
-      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("qty",
+        graft.functions.JsonGetExpr.jsonGet(col("props"), "k").cast("long"))
       .filter(col("qty").isNotNull)
       .groupBy(unix_millis(date_trunc("hour", col("t"))).as("bar_ms"),
         col("event_type").as("side"))

@@ -398,12 +398,18 @@ object Relational {
   /** Correlated SCALAR subqueries (TPC-H Q17 shape: small-quantity
     * orders vs the per-part average), decorrelated by Catalyst into an
     * aggregate + join on l_partkey per subquery. The avg comparison is
-    * multiplied out (2·qty·cnt < sum) in exact DECIMAL so no float
-    * division ever decides a row — cross-engine determinism per Q's
-    * conventions. Two subqueries ⇒ the fact table is scanned three
-    * times (outer + one aggregate per subquery): Spark decorrelates
-    * per-subquery and never merges correlated subqueries, and the
-    * folded single-subquery form (sum − 2·qty·cnt in one aggregate) is
+    * multiplied out (2·qty·cnt < sum) so no float division ever
+    * decides a row — and the multiply runs in BIGINT "cents"
+    * (ROUND(qty·100) is exact for 2-decimal quantities): the earlier
+    * DECIMAL(38) form allocated several BigDecimals per joined row,
+    * and at sf1 that 6M-row allocation burst drove G1 heap
+    * grow/uncommit churn — 40–100 s wall on an unpinned local heap for
+    * a 2 s query (real clusters pin executor heaps, Xms=Xmx, but the
+    * long-only condition is strictly better everywhere). Two
+    * subqueries ⇒ the fact table is scanned three times (outer + one
+    * aggregate per subquery): Spark decorrelates per-subquery and
+    * never merges correlated subqueries, and the folded
+    * single-subquery form (sum − 2·qty·cnt in one aggregate) is
     * REJECTED by Spark — outer references are only allowed in
     * WHERE/HAVING inside a subquery — so this is the minimal supported
     * SQL-text shape. (A DataFrame user would write the groupBy+join
@@ -413,9 +419,9 @@ object Relational {
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
       |       COUNT(*) AS n_items
       |FROM lineitem l1
-      |WHERE CAST(l1.l_quantity AS DECIMAL(18,2)) * 2 *
+      |WHERE CAST(ROUND(l1.l_quantity * 100) AS BIGINT) * 2 *
       |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
-      |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+      |    < (SELECT SUM(CAST(ROUND(l3.l_quantity * 100) AS BIGINT))
       |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
 
   val scalarSubquery: Q = Q("q64_scalar_subquery", scalarSql) { (s, d) =>

@@ -25,7 +25,13 @@ os.makedirs(OUT, exist_ok=True)
 rng = np.random.default_rng(42)
 
 def write(name, table):
-    pq.write_table(table, f"{OUT}/{name}.parquet", compression="snappy")
+    # Splittable row groups: Spark assigns a row group to the byte-range
+    # split containing its midpoint, so a single-file table with one giant
+    # row group is read by ONE task no matter the cluster size. ~24 groups
+    # per table keeps every local[32] scan parallel (paired with
+    # spark.sql.files.maxPartitionBytes=8m in the bench harness).
+    pq.write_table(table, f"{OUT}/{name}.parquet", compression="snappy",
+                   row_group_size=max(2048, table.num_rows // 24))
     print(f"{name}: {table.num_rows} rows")
 
 def n(base):  # driver count at sf0.1 was base/10
@@ -110,7 +116,7 @@ done = 0
 while done < NL:
     c = min(CHUNK, NL - done)
     qty = rng.integers(1, 51, c).astype(np.float64)
-    writer.write_table(pa.table({
+    writer.write_table(row_group_size=250_000, table=pa.table({
         "l_orderkey": pa.array(rng.integers(0, NO, c), pa.int64()),
         "l_partkey": pa.array(rng.integers(0, NP, c), pa.int64()),
         "l_suppkey": pa.array(rng.integers(0, NS, c), pa.int64()),
