@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Scan-split size for a local run: small enough that a single-file
+    * table parallelizes across local cores, but left at Spark's 128 MB
+    * default when the inputs are tiny (sub-decade SFs) where extra
+    * tasks are pure scheduling overhead. Keyed off the biggest table's
+    * file size; override with SPARK_GRAFT_MAX_PARTITION_BYTES. On a
+    * real cluster with TB inputs the 128 MB default is correct.
+    */
+  def autoSplitBytes(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", {
+      val biggest = Option(new java.io.File(sfDir).listFiles())
+        .map(_.map(_.length).foldLeft(0L)(math.max)).getOrElse(0L)
+      if (biggest > 32L * 1024 * 1024) "8388608" else "134217728"
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,11 +28,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local[32] at sub-GB scale: the default 128 MB split starves
       // parallelism — a single-file 116 MB table becomes ONE scan task
-      // and a per-row kernel (JSON parse, shingling) runs 1-threaded.
-      // 8 MB yields ~CPU-count splits at sf1. On a real cluster with
-      // TB inputs the 128 MB default is correct — this is bench-local.
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
+      // and a per-row kernel (JSON parse, shingling) runs 1-threaded
+      .config("spark.sql.files.maxPartitionBytes", autoSplitBytes(sfDir))
       // defense in depth against block-manager pressure from 124 query
       // executions in one JVM: periodic GC lets the ContextCleaner drop
       // unreferenced shuffle/broadcast/RDD state even between freeAll calls

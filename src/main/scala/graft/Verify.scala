@@ -16,9 +16,8 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS): read as LONG epoch-ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // sub-GB single-file inputs need small splits for local parallelism
-      // (see Bench.scala) — harness-local, not a library default
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
+      // (see Bench.autoSplitBytes) — harness-local, not a library default
+      .config("spark.sql.files.maxPartitionBytes", Bench.autoSplitBytes(sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

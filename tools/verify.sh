@@ -16,10 +16,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-# Xms=Xmx + pre-touch: G1 heap grow/uncommit churn (mmap/madvise) is
-# pathologically slow in this microVM — an allocation-heavy query swung
-# 2 s <-> 100 s unpinned. Real Spark executors always pin (Xms=Xmx).
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xms8g -Xmx8g -XX:+AlwaysPreTouch \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF" "$OUT" 2>/tmp/verify_err.log \
   || { tail -30 /tmp/verify_err.log; exit 1; }
