@@ -277,7 +277,55 @@ object EventsOps {
       .orderBy("bar_ms", "side")
   }
 
+  /** As-of join ([EXT], SURVEY §2.10 class): each click joined to the
+    * most recent purchase of the same user at-or-before it — the
+    * classic tick↔quote alignment the reference's OHLCV domain needs
+    * and Spark has no native operator for.
+    *
+    * Scale path: ONE shuffle on user_id. Both streams are tagged and
+    * unioned, then a running `last(_, ignoreNulls)` over
+    * (user_id ORDER BY t, side) carries the latest purchase forward
+    * into each click row. No range join, no per-key explosion: a user
+    * with P purchases and C clicks costs P+C rows through one sort —
+    * versus the O(P·C) pairs a naive range-join+argmax would shuffle.
+    * Purchases sort before clicks at equal t (side 0 < 1) ⇒ inclusive
+    * `p.ts <= c.ts`, matching DuckDB's ASOF JOIN, which is the oracle.
+    * Ordering ends with event_id, so at a µs-timestamp collision the
+    * max-event_id purchase is the one carried — deterministic, and the
+    * same choice the oracle's max_by(value, event_id) dedup makes.
+    */
+  val asofJoin: Q = Q(
+    "q68_asof_join",
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS pts, max_by(value, event_id) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)
+      |), c AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS cts FROM events WHERE event_type = 'click'
+      |)
+      |SELECT c.event_id, c.user_id, c.cts AS click_ts_us,
+      |       p.pts AS purchase_ts_us, p.purchase_value
+      |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.cts >= p.pts
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("t_us", Tables.nsToUs("ts"))
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("t_us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("event_id"),
+        when(col("event_type") === "purchase", col("value")).as("purchase_value"))
+    val w = Window.partitionBy("user_id").orderBy("t_us", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("purchase_ts_us",
+        last(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(w))
+      .withColumn("pv",
+        last(when(col("side") === 0, col("purchase_value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("purchase_ts_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("t_us").as("click_ts_us"),
+        col("purchase_ts_us"), col("pv").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     resampleOhlcv, gapDetect, modeInterval, keepLast, jsonExtract,
-    slidingWindow, timeFunctions, upsertMerge, tickBars)
+    slidingWindow, timeFunctions, upsertMerge, tickBars, asofJoin)
 }
