@@ -100,21 +100,62 @@ object Dedup {
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 8) % 256): _*)).as(Seq("band", "key")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
-      col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"),
-      col("band"), col("key"))
-    // hamming filter BEFORE the distinct: it's per-row xor+popcount on
-    // columns already present in the join output, so evaluating it
-    // map-side cuts the candidate stream (∝ bucket² fan-out) to only
-    // true near-dups before the dropDuplicates shuffle — same result,
-    // one shuffle over a tiny stream instead of the full candidate set
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Block-decomposed self-join for hot buckets: a (band,key) bucket
+    // is ONE key group to the join — a saturated fingerprint region (a
+    // dense corpus can put ~25% of all docs into one 8-bit band value)
+    // makes that group a single task evaluating |bucket|²/2 pairs
+    // serially with the whole side buffered in memory. Each doc is
+    // chunked by id into k(bucket) blocks and the join key extended to
+    // (band, key, blockA, blockB): a hot bucket becomes k(k+1)/2
+    // independently-scheduled key groups — exact same pair set, k²-way
+    // parallel, per-task memory bounded by blockSize. k is ADAPTIVE
+    // (ceil(|bucket|/blockSize), capped): the bucket-count aggregate is
+    // tiny (≤ 4·256 rows here, ≤ bands·2^bits in general) and comes
+    // back as a broadcast, so cold buckets get k=1 — zero replication,
+    // zero overhead — and only saturated buckets pay the split.
+    val blockSize = 1024
+    val maxBlocks = 16
+    val counts = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+    val bk = banded.join(broadcast(counts), Seq("band", "key"))
+      .withColumn("k",
+        least(lit(maxBlocks), ceil(col("bucket_n") / blockSize)).cast("int"))
+    val a = bk
+      .withColumn("ci", pmod(col("doc_id"), col("k")).cast("int"))
+      .withColumn("cj", explode(sequence(col("ci"), col("k") - 1)))
+      .select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
+        col("band"), col("key"), col("ci"), col("cj"))
+    val b = bk
+      .withColumn("cj", pmod(col("doc_id"), col("k")).cast("int"))
+      .withColumn("ci", explode(sequence(lit(0), col("cj"))))
+      .select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"),
+        col("band"), col("key"), col("ci"), col("cj"))
+    // Both dedup decisions happen MAP-SIDE on the join output (fp_a and
+    // fp_b are already in the row), so the pair stream needs no further
+    // shuffle at all:
+    //  - hamming filter: xor+popcount cuts the bucket² candidate fan-out
+    //    to true near-dups;
+    //  - first-matching-band emission: a hamming-0 pair matches all 4
+    //    bands and would surface 4×; emitting only from the lowest
+    //    matching band makes every pair unique BY CONSTRUCTION, deleting
+    //    the dropDuplicates shuffle that previously re-keyed the whole
+    //    (multi-band × pairs) stream. At sf1 that shuffle was ~2-4× the
+    //    9.5M-pair result.
+    val earlierBandMatches = (0 until 3).map { i =>
+      // mirror the banding expression exactly so "matches in band i"
+      // means "would have joined in band i"
+      col("band") > i &&
+        (shiftright(col("fp_a"), i * 8) % 256 === shiftright(col("fp_b"), i * 8) % 256)
+    }.reduce(_ || _)
+    a.join(b, Seq("band", "key", "ci", "cj"))
+      // same-block groups see both orientations (dedup by id order);
+      // cross-block groups see exactly one orientation (keep it even
+      // when doc_a > doc_b — least/greatest below normalizes)
+      .filter(col("ci") =!= col("cj") || col("doc_a") < col("doc_b"))
       .withColumn("hamming", TextHash.hamming(col("fp_a"), col("fp_b")))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
-      .select("doc_a", "doc_b", "hamming")
+      .filter(col("hamming") <= maxHamming && !earlierBandMatches)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
   }
 
   /** Order-sensitive rolling-hash document fingerprint (content identity

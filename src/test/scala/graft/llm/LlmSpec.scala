@@ -132,6 +132,27 @@ class LlmSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxHamming"))
   }
 
+  test("simhashPairs: saturated bucket (> blockSize docs) matches the unchunked pair set") {
+    // 2500 docs drawn from 3 templates ⇒ every band bucket is hot and
+    // the adaptive block decomposition (blockSize=1024) engages with
+    // k>1; tails are mutated so hamming varies. Oracle: brute-force
+    // O(N²) pairs from the same fingerprints.
+    import org.apache.spark.sql.functions._
+    val base = Seq("alpha beta gamma delta", "alpha beta gamma zeta", "omega psi chi phi")
+    val corpus = docs((0 until 2500).map(i =>
+      (i.toLong, base(i % 3) + " tail" + (i % 7))): _*)
+    val fp = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      x <- fp.keys; y <- fp.keys if x < y
+      h = java.lang.Long.bitCount(fp(x) ^ fp(y)) if h <= 3
+    } yield (x, y, h.toLong)).toSet
+    val got = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(got.size == expected.size && got == expected,
+      s"chunked pair set diverged: got=${got.size} expected=${expected.size}")
+  }
+
   test("rolling fingerprint is order-sensitive") {
     val fps = Dedup.fingerprints(docs((1L, "a b c"), (2L, "c b a"), (3L, "a b c")))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
