@@ -90,6 +90,7 @@ object JsonGetExpr {
           i += 1
           e match {
             case '"' => if (out != null) out.append('"')
+            case '\'' => if (out != null) out.append('\'') // ALLOW_SINGLE_QUOTES also admits \'
             case '\\' => if (out != null) out.append('\\')
             case '/' => if (out != null) out.append('/')
             case 'b' => if (out != null) out.append('\b')
@@ -176,8 +177,14 @@ object JsonGetExpr {
       }
       if (out != null) {
         val raw = s.substring(start, i)
-        if (isFloat) out.append(java.lang.Double.toString(java.lang.Double.parseDouble(raw)))
-        else {
+        if (isFloat) {
+          val d = java.lang.Double.parseDouble(raw)
+          // Jackson's generator (QUOTE_NON_NUMERIC_NUMBERS, default on)
+          // writes a non-finite double as a QUOTED string — e.g. 1e999
+          // overflows to Infinity and serializes as "Infinity"
+          if (java.lang.Double.isFinite(d)) out.append(java.lang.Double.toString(d))
+          else { out.append('"'); out.append(java.lang.Double.toString(d)); out.append('"') }
+        } else {
           try out.append(java.lang.Long.toString(java.lang.Long.parseLong(raw)))
           catch { case _: NumberFormatException => out.append(new java.math.BigInteger(raw).toString) }
         }
@@ -187,10 +194,13 @@ object JsonGetExpr {
 
     // parse + canonically re-render any JSON value (token-level
     // validation everywhere, like Jackson's full-stream parse).
+    // `depth` = Jackson nesting depth of the ENCLOSING containers (root
+    // object = 1); a container that would open at depth > 1000 fails,
+    // matching Jackson's default StreamReadConstraints max-depth.
     // Returns: 1 ok, 0 malformed, -1 value was a top-level JSON null
     // (rendered as the literal inside containers by the callers below).
     def parseValue(out: java.lang.StringBuilder, depth: Int): Int = {
-      if (i >= n || depth > 512) return 0
+      if (i >= n) return 0
       s.charAt(i) match {
         case '"' | '\'' =>
           if (out == null) { if (parseString(null)) 1 else 0 }
@@ -199,6 +209,7 @@ object JsonGetExpr {
             if (!parseString(tmp)) 0 else { appendQuoted(out, tmp); 1 }
           }
         case '{' =>
+          if (depth + 1 > 1000) return 0
           i += 1
           if (out != null) out.append('{')
           ws()
@@ -229,6 +240,7 @@ object JsonGetExpr {
           }
           1
         case '[' =>
+          if (depth + 1 > 1000) return 0
           i += 1
           if (out != null) out.append('[')
           ws()
@@ -282,7 +294,7 @@ object JsonGetExpr {
           result = vb.toString
         } else {
           val out = if (take) new java.lang.StringBuilder(16) else null
-          val r = parseValue(out, 0)
+          val r = parseValue(out, 1) // root object is Jackson nesting depth 1
           if (r == 0) return null
           if (take && r == 1) result = out.toString
         }
@@ -292,8 +304,9 @@ object JsonGetExpr {
         else return null
       }
     }
-    ws()
-    if (i != n) return null // trailing garbage fails Jackson's stream too
+    // Deliberately NO trailing-content check: the built-in's streaming
+    // parse never reads past the root value, so '{"k":1} garbage'
+    // returns '1'. Matching that here (verified against Spark 4.1.2).
     if (result == null) null else UTF8String.fromString(result)
   }
 }

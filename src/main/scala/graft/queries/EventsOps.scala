@@ -314,14 +314,18 @@ object EventsOps {
         when(col("event_type") === "purchase", col("value")).as("purchase_value"))
     val w = Window.partitionBy("user_id").orderBy("t_us", "side", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // (ts, value) carried as ONE struct: a purchase whose value is NULL
+    // must still advance BOTH columns together (DuckDB ASOF returns the
+    // newer ts with a NULL value). Two independent last(_, ignoreNulls)
+    // windows would advance ts but keep an older row's value — a
+    // cross-row frankenpair.
     ev
-      .withColumn("purchase_ts_us",
-        last(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(w))
-      .withColumn("pv",
-        last(when(col("side") === 0, col("purchase_value")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1 && col("purchase_ts_us").isNotNull)
+      .withColumn("p",
+        last(when(col("side") === 0,
+          struct(col("t_us"), col("purchase_value"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("p").isNotNull)
       .select(col("event_id"), col("user_id"), col("t_us").as("click_ts_us"),
-        col("purchase_ts_us"), col("pv").as("purchase_value"))
+        col("p.t_us").as("purchase_ts_us"), col("p.purchase_value"))
       .orderBy("event_id")
   }
 

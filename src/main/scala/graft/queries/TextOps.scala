@@ -211,9 +211,14 @@ object TextOps {
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter") * lit(1.0) /
       (col("sa.n") + col("sb.n") - col("inter"))
+    // No broadcast hint on `sizes`: it is one row PER DOCUMENT, so at a
+    // 10^9-doc corpus a forced broadcast materializes a multi-GB table on
+    // the driver and every executor. A plain shuffle join on doc_id is
+    // always safe, and AQE still picks broadcast when the table is
+    // actually small (as at bench scale).
     pairs
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(jac >= 0.12)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

@@ -46,6 +46,15 @@ class JsonGetSpec extends SparkSpec {
       // Spark's shared Jackson factory enables ALLOW_SINGLE_QUOTES and
       // ALLOW_UNESCAPED_CONTROL_CHARS - cover both
       """{'k':'single'}""", """{'k':42}""", """{"k":'mixed'}""",
+      // the \' escape Jackson admits under ALLOW_SINGLE_QUOTES
+      """{'k':'a\'b'}""", """{"k":"a\'b"}""",
+      // streaming parse stops at the end of the root value -> trailing
+      // content is never read and the value still comes back
+      """{"k":1} trailing""", """{"k":1}{"k":2}""", """{"k":1}]""",
+      // non-finite floats serialize as QUOTED "Infinity" (Jackson's
+      // QUOTE_NON_NUMERIC_NUMBERS), both nested and as the leaf
+      """{"k":1e999}""", """{"k":-1e999}""", """{"k":[1e999,2]}""",
+      """{"k":{"a":-1e999}}""",
       "{\"k\":\"a\u0001b\"}", "{\"k\":{\"a\":\"c\u0002d\"}}")
     val df = docs.toDF("j")
       .withColumn("builtin", get_json_object($"j", "$.k"))
@@ -60,14 +69,33 @@ class JsonGetSpec extends SparkSpec {
         s"${esc(r.get(0))} | ${esc(r.get(1))} | ${esc(r.get(2))}").mkString("\n")}")
   }
 
+  test("nesting-depth limit matches Jackson's default (1000) exactly") {
+    import spark.implicits._
+    // root object is depth 1; d nested arrays put the innermost at
+    // depth 1+d. Jackson's StreamReadConstraints rejects depth > 1000,
+    // so d=999 parses and d=1000 is NULL — assert parity with the
+    // builtin at the boundary rather than hardcoding either outcome.
+    def doc(d: Int): String = "{\"k\":" + ("[" * d) + "7" + ("]" * d) + "}"
+    val docs = Seq(doc(3), doc(998), doc(999), doc(1000), doc(1001))
+    val df = docs.toDF("j")
+      .withColumn("builtin", get_json_object($"j", "$.k"))
+      .withColumn("fused", JsonGetExpr.jsonGet($"j", "k"))
+    val diff = df.filter(!($"builtin" <=> $"fused")).collect()
+    assert(diff.isEmpty, s"depth divergence:\n${diff.map(r =>
+      s"len=${r.getString(0).length} | ${String.valueOf(r.get(1)).take(30)} | ${String.valueOf(r.get(2)).take(30)}").mkString("\n")}")
+    // and pin the boundary itself so a Jackson default change shows up
+    val ok = df.filter(length($"j") === doc(999).length).select("fused").head.getString(0)
+    assert(ok != null, "depth 999 must parse")
+  }
+
   test("malformed input returns NULL") {
     import spark.implicits._
     val bad = Seq(
       "", "   ", "not json", "{", "}", """{"k":}""", """{"k":1,}""",
       """{"k" 1}""", """{k:1}""", """{"k":01}""", """{"k":+1}""", """{"k":.5}""",
       """{"k":1.}""", """{"k":1e}""", """{"k":tru}""", """{"k":"unterminated""",
-      """{"k":"bad\escape"}""", "{\"k\":\"\\" + "u00g1\"}", """{"k":1} trailing""",
-      """[1,2]""", """"just a string"""", """{"k":1}{"k":2}""")
+      """{"k":"bad\escape"}""", "{\"k\":\"\\" + "u00g1\"}",
+      """[1,2]""", """"just a string"""")
     val df = bad.toDF("j").withColumn("fused", JsonGetExpr.jsonGet($"j", "k"))
     val nonNull = df.filter($"fused".isNotNull).collect()
     assert(nonNull.isEmpty, s"expected NULL for malformed:\n${nonNull.mkString("\n")}")

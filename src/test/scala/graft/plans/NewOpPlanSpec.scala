@@ -76,6 +76,18 @@ class NewOpPlanSpec extends SparkSpec {
       "pair generation must be the bucket equi-join")
   }
 
+  test("q35 jaccard: per-document sizes table is never hint-forced to broadcast") {
+    // `sizes` is one row per document — a forced broadcast() hint would
+    // OOM the driver at a 10^9-doc corpus. The plan must carry NO
+    // broadcast hint for it; whether AQE then picks a broadcast join at
+    // bench scale (where sizes IS small) is the optimizer's call, which
+    // is exactly the point.
+    val analyzed = graft.SparkEntry.queries("q35_jaccard_pairs")(
+      spark, "/root/testdata/sf0.001").queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"q35 declares a broadcast hint:\n${analyzed.take(2000)}")
+  }
+
   test("q63/q64 correlated subqueries decorrelate to joins — no per-row subplan survives") {
     for (q <- Seq("q63_exists_subquery", "q64_scalar_subquery")) {
       val exec = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")

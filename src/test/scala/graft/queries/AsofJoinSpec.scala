@@ -59,6 +59,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.toSet == Set((23L, 250L, 200L, 2.0), (25L, 260L, 150L, 9.0)))
   }
 
+  test("NULL-value purchase advances ts AND value together (no cross-row pair)") {
+    // DuckDB ASOF returns the NEWEST at-or-before purchase even when its
+    // value is NULL — ts and value must come from the same row, never a
+    // newer ts paired with an older row's value.
+    import spark.implicits._
+    val dir = tmpDir("asofnull")
+    Seq(
+      (1L, 100L * us, 7L, "purchase", Some(10.0)),
+      (2L, 200L * us, 7L, "purchase", Option.empty[Double]),
+      (3L, 300L * us, 7L, "click", Some(0.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventsOps.asofJoin.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(3) == 200L, "must carry the newer purchase's ts")
+    assert(r(0).isNullAt(4), "must carry the newer purchase's NULL value, not the older 10.0")
+  }
+
   test("plan: one hash-partition shuffle, no join operator") {
     val dir = tmpDir("asofplan")
     eventsDf(Seq((1L, 1000L, 7L, "purchase", 1.0), (2L, 2000L, 7L, "click", 0.0)))
