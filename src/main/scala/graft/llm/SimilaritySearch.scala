@@ -158,19 +158,80 @@ object SimilaritySearch {
       .select("id_a", "id_b", "sim")
   }
 
-  /** LSH-bucketed near-duplicate pairs: same-bucket candidates only. */
+  /** LSH-bucketed near-duplicate pairs: same-bucket candidates only.
+    *
+    * Block-decomposed self-join (same shape as Dedup.simhashPairs): a
+    * bucket is ONE key group to the join, so a dense embedding region —
+    * or simply planes too small for the corpus — would make a single
+    * task evaluate |bucket|²/2 dot products serially with one whole
+    * side buffered. Each vector is chunked by id into k(bucket) blocks
+    * and the join key extended to (bucket, blockA, blockB): a hot
+    * bucket becomes k(k+1)/2 independently-scheduled key groups — the
+    * exact same pair set, k²-way parallel, per-task memory bounded by
+    * blockSize vectors. k is ADAPTIVE (ceil(|bucket|/blockSize), capped
+    * at maxBlocks): the per-bucket histogram is ≤ min(2^planes, N/1)
+    * rows of (long, long) — with [[adaptivePlanes]] that's ~N/1024
+    * rows, broadcastable at any realistic corpus — so cold buckets get
+    * k=1 (zero replication, zero overhead) and only hot buckets pay
+    * the split.
+    *
+    * Cross-block key groups see exactly one orientation (lower block on
+    * the a-side), so ids are normalized with least/greatest at the end;
+    * `sim` is orientation-independent bit-for-bit (elementwise products
+    * commute, summation order is the dimension order either way).
+    */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
                      planes: Int = 8, dim: Int = 64,
-                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     blockSize: Int = 1024, maxBlocks: Int = 16): DataFrame = {
     val bucketed = bucketize(corpus, planes, dim, embCol)
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"),
-      norm(col(embCol)).as("norm_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"),
-      norm(col(embCol)).as("norm_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("bucket"), col(idCol).as("id"), col(embCol).as("emb"),
+        norm(col(embCol)).as("nrm"))
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val bk = bucketed.join(broadcast(counts), Seq("bucket"))
+      .withColumn("k",
+        least(lit(maxBlocks), ceil(col("bucket_n") / blockSize)).cast("int"))
+    val a = bk
+      .withColumn("ci", pmod(col("id"), col("k")).cast("int"))
+      .withColumn("cj", explode(sequence(col("ci"), col("k") - 1)))
+      .select(col("bucket"), col("ci"), col("cj"),
+        col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("norm_a"))
+    val b = bk
+      .withColumn("cj", pmod(col("id"), col("k")).cast("int"))
+      .withColumn("ci", explode(sequence(lit(0), col("cj"))))
+      .select(col("bucket"), col("ci"), col("cj"),
+        col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("norm_b"))
+    a.join(b, Seq("bucket", "ci", "cj"))
+      // same-block groups see both orientations (dedup by id order);
+      // cross-block groups see exactly one — keep it and normalize below
+      .filter(col("ci") =!= col("cj") || col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
   }
+
+  /** Planes that keep the EXPECTED bucket population near `targetBucket`
+    * under a uniform-sign model: ceil(log2(n / targetBucket)), floored
+    * at `minPlanes` and capped at 62 (the bucket id is a long bitmask).
+    * 8 fixed planes means 256 buckets at ANY corpus size — fine at 10^5
+    * vectors, quadratic death at 10^9; this scales bucket count with
+    * the corpus so per-bucket work stays constant as data grows.
+    */
+  def adaptivePlanes(corpusSize: Long, targetBucket: Long = 1024,
+                     minPlanes: Int = 8): Int = {
+    val want = math.ceil(
+      math.log(math.max(1L, corpusSize).toDouble / targetBucket) / math.log(2)).toInt
+    math.min(62, math.max(minPlanes, want))
+  }
+
+  /** [[cosinePairsLsh]] with planes derived from the corpus size (one
+    * count job — at 100 TB that's a metadata-only parquet row-count).
+    * The declared q43 keeps static planes=8 because its DuckDB oracle
+    * replays a fixed bucketing; production callers should prefer this
+    * entry point.
+    */
+  def cosinePairsLshAuto(corpus: DataFrame, threshold: Double, dim: Int = 64,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    cosinePairsLsh(corpus, threshold, adaptivePlanes(corpus.count()), dim, idCol, embCol)
 }

@@ -174,6 +174,37 @@ class LlmSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("cosinePairsLsh: saturated bucket (> blockSize vectors) matches the unchunked pair set") {
+    // Positive scaling preserves every hyperplane sign bit, so all 300
+    // vectors land in ONE bucket — the case that used to be a single
+    // |bucket|²/2 task. With blockSize=64 the adaptive decomposition
+    // engages (k=5, 15 key groups); the pair set must be identical to
+    // the unchunked join (blockSize larger than the corpus ⇒ k=1).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat * 10f)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, base.map(v => v * (1f + i / 1000f)))).toDF("vec_id", "embedding")
+    assert(SimilaritySearch.bucketize(corpus).select("bucket").distinct.count() == 1,
+      "test premise: the whole corpus must share one bucket")
+    val unchunked = SimilaritySearch.cosinePairsLsh(corpus, 0.0, blockSize = 1 << 20)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chunked = SimilaritySearch.cosinePairsLsh(corpus, 0.0, blockSize = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unchunked.size == 300 * 299 / 2, "one bucket at sim~1 must yield all pairs")
+    assert(chunked == unchunked, s"block decomposition changed the pair set: " +
+      s"chunked=${chunked.size} unchunked=${unchunked.size}")
+    assert(chunked.forall { case (x, y) => x < y }, "ids must be normalized ascending")
+  }
+
+  test("adaptivePlanes scales bucket count with corpus size") {
+    assert(SimilaritySearch.adaptivePlanes(1000L) == 8)      // floor
+    assert(SimilaritySearch.adaptivePlanes(1000000L) == 10)  // ~1024/bucket
+    assert(SimilaritySearch.adaptivePlanes(1000000000L) == 20)
+    assert(SimilaritySearch.adaptivePlanes(Long.MaxValue) == 53)
+    assert(SimilaritySearch.adaptivePlanes(0L) == 8)
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs (no false sims)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = SimilaritySearch.cosinePairsExact(emb, 0.2)
