@@ -64,25 +64,51 @@ object ManifestCatalog {
     } finally s.close()
   }
 
-  /** The lock-free commit point: atomically hard-link `part` into the
-    * log as `{seq}.parquet` at the next free seq. link(2) is
-    * create-exclusive, so exactly one writer wins each seq; losers see
-    * FileAlreadyExistsException and retry one higher. Pure java.nio —
-    * no Spark, no locks — so concurrent writer PROCESSES are safe
-    * (exercised for real by ConcurrentCommitSpec's forked JVMs).
+  /** The storage-specific atomic-publish primitive the commit protocol
+    * builds on. INVARIANT the impl must provide: for a given target
+    * name, when N writers race, exactly ONE tryPublish returns true and
+    * the rest return false (never two winners, never zero) — the retry
+    * loop in [[publishExclusive]] supplies everything else. Impls:
+    *  - [[PosixLinkPublish]] (default): create-exclusive link(2);
+    *    correct on any POSIX filesystem, exercised cross-process by
+    *    ConcurrentCommitSpec's forked JVMs.
+    *  - An object store has neither hard links nor flock: implement
+    *    tryPublish as a conditional PUT (`If-None-Match: *` on S3/GCS)
+    *    and maxSeq as a LIST of the log prefix — the same
+    *    exactly-one-winner contract, which is also the shape of the
+    *    Delta/Iceberg commit protocols.
     */
-  private[catalog] def publishExclusive(logDir: String, part: java.nio.file.Path): Long = {
-    var seq = maxFileSeq(logDir) + 1
-    var published = false
-    while (!published) {
-      try {
-        Files.createLink(Paths.get(f"$logDir/$seq%020d.parquet"), part)
-        published = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          seq = math.max(seq + 1, maxFileSeq(logDir) + 1)
-      }
-    }
+  trait PublishPrimitive {
+    /** Atomically bind the staged file's content to `target`; false iff
+      * `target` already exists (another writer won that name).
+      */
+    def tryPublish(staged: java.nio.file.Path, target: java.nio.file.Path): Boolean
+    /** Highest seq currently published in `logDir` (0 for an empty log). */
+    def maxSeq(logDir: String): Long
+  }
+
+  /** POSIX impl: link(2) fails EEXIST if the name is taken — atomic
+    * create-exclusive, no locks, safe across processes.
+    */
+  object PosixLinkPublish extends PublishPrimitive {
+    override def tryPublish(staged: java.nio.file.Path, target: java.nio.file.Path): Boolean =
+      try { Files.createLink(target, staged); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    override def maxSeq(logDir: String): Long = maxFileSeq(logDir)
+  }
+
+  /** The lock-free commit point: atomically publish `part` into the
+    * log as `{seq}.parquet` at the next free seq via the storage
+    * primitive. Exactly one writer wins each seq; losers retry one
+    * higher (re-listing, so a burst of writers converges in O(burst)
+    * attempts total, not per writer). The file's content never changes
+    * during a claim retry, only its eventual name.
+    */
+  private[catalog] def publishExclusive(logDir: String, part: java.nio.file.Path,
+                                        pub: PublishPrimitive = PosixLinkPublish): Long = {
+    var seq = pub.maxSeq(logDir) + 1
+    while (!pub.tryPublish(part, Paths.get(f"$logDir/$seq%020d.parquet")))
+      seq = math.max(seq + 1, pub.maxSeq(logDir) + 1)
     seq
   }
 }

@@ -56,6 +56,30 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(seqs == (1L to 100L), s"expected gapless 1..100, got ${seqs.take(5)}...${seqs.takeRight(5)} (n=${seqs.size})")
   }
 
+  test("publishExclusive drives any PublishPrimitive (object-store conditional-PUT shape)") {
+    // a fake primitive with conditional-PUT semantics: an in-memory
+    // name set, tryPublish wins iff the name is free. Models S3
+    // If-None-Match: * — proving the retry loop needs nothing from
+    // POSIX (no links, no flock), only the exactly-one-winner contract.
+    val taken = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val puts = new java.util.concurrent.atomic.AtomicInteger
+    val fake = new ManifestCatalog.PublishPrimitive {
+      override def tryPublish(staged: java.nio.file.Path, target: java.nio.file.Path): Boolean = {
+        puts.incrementAndGet(); taken.add(target.getFileName.toString)
+      }
+      override def maxSeq(logDir: String): Long =
+        taken.asScala.map(_.stripSuffix(".parquet").toLong).foldLeft(0L)(math.max)
+    }
+    val dummy = Files.createTempFile("pubseam", ".parquet")
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      (1 to 25).foreach(_ => ManifestCatalog.publishExclusive("/ignored", dummy, fake))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val seqs = taken.asScala.map(_.stripSuffix(".parquet").toLong).toSeq.sorted
+    assert(seqs == (1L to 100L), s"expected gapless 1..100, got n=${seqs.size}")
+    // losers retried rather than clobbered: put attempts >= 100 wins
+    assert(puts.get >= 100)
+  }
+
   test("concurrent addEntries from two threads: no lost writes, distinct seqs") {
     val root = Files.createTempDirectory("catrace").toString
     val cat1 = new ManifestCatalog(spark, root)
