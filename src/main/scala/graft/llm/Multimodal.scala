@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * luminance-band feature, and re-encodes resizes. AUDIO decode is
   * REAL: `javax.sound.sampled` (JDK-bundled — WAV, AIFF, AU readers)
   * extracts true sample rate, channels, duration, and per-channel RMS.
-  * Bytes no registered reader understands (video containers, corrupt
+  * VIDEO demux is REAL for RIFF/AVI ([[demuxAvi]]): pure-JVM chunk
+  * walk; with MJPEG frames the full demux→decode path runs on a stock
+  * JDK. Bytes none of these understand (compressed codecs, corrupt
   * payloads) fall back to the clearly-marked deterministic STUB so the
   * batch pipeline still exercises end-to-end; swap the stub for a
   * JNI/codec call and nothing else changes.
@@ -197,11 +199,11 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(audioFeatureSchema)).toDF()
   }
 
-  /** STUB decode — fallback for payloads neither [[decodeImage]] nor
-    * [[decodeAudio]] can read (video containers, corrupt bytes; a real
-    * video codec would go here (???)): derives (width, height, 8-dim
-    * feature) from content bytes so the batch pipeline still runs
-    * deterministically end-to-end.
+  /** STUB decode — fallback for payloads [[decodeImage]],
+    * [[decodeAudio]] AND [[demuxAvi]] all reject (compressed video
+    * codecs, corrupt bytes; a real codec binding would go here (???)):
+    * derives (width, height, 8-dim feature) from content bytes so the
+    * batch pipeline still runs deterministically end-to-end.
     */
   def decodeStub(content: Array[Byte]): (Int, Int, Array[Float]) = {
     if (content == null || content.isEmpty) (0, 0, Array.fill(8)(0.0f))
@@ -213,6 +215,69 @@ object Multimodal {
         ((content(i % content.length) & 0xff) / 255.0f)).toArray
       (width, height, feat)
     }
+  }
+
+  /** A demuxed AVI: header metadata + the byte range of every video
+    * frame chunk (16 bytes of bookkeeping per frame — the frame bytes
+    * themselves stay in the original payload, sliced lazily).
+    */
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Long,
+                            frames: IndexedSeq[(Int, Int)])
+
+  /** Real video demux for the one container a stock JDK can handle
+    * end-to-end: RIFF/AVI. Walks the chunk tree (LIST 'hdrl' → 'avih'
+    * main header for dimensions and frame timing; LIST 'movi' — plus
+    * optional 'rec ' sublists — for '##dc'/'##db' video frame chunks,
+    * even-padded per RIFF). For MJPEG AVIs every frame chunk is a bare
+    * JPEG that javax.imageio then decodes, so the whole
+    * demux→decode→feature path is dependency-free and REAL; only
+    * compressed codecs (H.264 etc.) still fall back to [[decodeStub]].
+    * Returns None on anything that isn't a structurally valid AVI
+    * (wrong magic, truncated chunk, no video frames).
+    */
+  def demuxAvi(content: Array[Byte]): Option[AviVideo] = {
+    if (content == null || content.length < 12) return None
+    def u32(o: Int): Long =
+      (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val fileEnd = math.min(content.length.toLong, 8L + u32(4)).toInt
+    var width = 0; var height = 0; var usPerFrame = 0L
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    // returns false on a structural violation (truncated chunk)
+    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val size = u32(o + 4)
+        val dataStart = o + 8
+        if (size < 0 || dataStart + size > end) return false
+        val dataEnd = (dataStart + size).toInt
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(dataStart)
+          if (!walk(dataStart + 4, dataEnd,
+            inMovi || listType == "movi" || listType == "rec ")) return false
+        } else if (id == "avih" && size >= 40) {
+          usPerFrame = u32(dataStart)
+          width = u32(dataStart + 32).toInt
+          height = u32(dataStart + 36).toInt
+        } else if (inMovi && isFrameId(id)) {
+          frames += ((dataStart, size.toInt))
+        }
+        o = dataEnd + (size.toInt & 1) // RIFF chunks are even-padded
+      }
+      true
+    }
+    try {
+      val out = if (walk(12, fileEnd, inMovi = false)) frames.result() else IndexedSeq.empty
+      if (out.isEmpty) None
+      else Some(AviVideo(width, height, if (usPerFrame > 0) usPerFrame else 40000L, out))
+    } catch { case _: Throwable => None }
   }
 
   /** Frame-sample output schema: one row per sampled frame. */
@@ -258,12 +323,17 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(schema)).toDF()
   }
 
-  /** Frame sampling: one input video row fans out to ceil(len/chunk)
-    * frame rows, every `everyNth` kept. The plumbing that matters at
-    * scale is the ITERATOR fan-out — frames of a partition are never
-    * materialized as a whole; each input row yields a lazy iterator, so
-    * memory is bounded by one frame regardless of video length. The
-    * frame split itself is the stub (real impl: container demux ???).
+  /** Frame sampling: one input video row fans out to frame rows, every
+    * `everyNth` kept. RIFF/AVI payloads demux for REAL ([[demuxAvi]]):
+    * frame_idx is the container frame number, frame_ms comes from the
+    * avih frame timing, and each emitted frame is the actual video
+    * chunk (a decodable JPEG for MJPEG AVIs). Payloads that aren't AVIs
+    * fall back to the fixed-size byte split stub (real impl for
+    * compressed codecs: ??? — no JDK decoder exists). Either way the
+    * plumbing that matters at scale is the ITERATOR fan-out — frames of
+    * a partition are never materialized as a whole; each input row
+    * yields a lazy iterator, so memory is bounded by one frame
+    * regardless of video length.
     */
   def sampleFrames(media: DataFrame, everyNth: Int = 10,
                    frameBytes: Int = 4096, frameMs: Long = 40L): DataFrame = {
@@ -275,17 +345,26 @@ object Multimodal {
           val content = r.getAs[Array[Byte]]("content")
           val id = r.getAs[Long]("media_id")
           if (content == null || content.isEmpty) Iterator.empty
-          else {
-            val nFrames = (content.length + frameBytes - 1) / frameBytes
-            // lazy range iterator: one frame in memory at a time
-            (0 until nFrames).iterator
-              .filter(_ % everyNth == 0)
-              .map { idx =>
-                val from = idx * frameBytes
-                val until = math.min(from + frameBytes, content.length)
-                Row(id, idx, idx * frameMs,
-                  java.util.Arrays.copyOfRange(content, from, until))
-              }
+          else demuxAvi(content) match {
+            case Some(v) =>
+              (0 until v.frames.size).iterator
+                .filter(_ % everyNth == 0)
+                .map { idx =>
+                  val (from, len) = v.frames(idx)
+                  Row(id, idx, idx * v.usPerFrame / 1000,
+                    java.util.Arrays.copyOfRange(content, from, from + len))
+                }
+            case None =>
+              val nFrames = (content.length + frameBytes - 1) / frameBytes
+              // lazy range iterator: one frame in memory at a time
+              (0 until nFrames).iterator
+                .filter(_ % everyNth == 0)
+                .map { idx =>
+                  val from = idx * frameBytes
+                  val until = math.min(from + frameBytes, content.length)
+                  Row(id, idx, idx * frameMs,
+                    java.util.Arrays.copyOfRange(content, from, until))
+                }
           }
         }
       }(org.apache.spark.sql.Encoders.row(frameSchema)).toDF()
@@ -305,10 +384,17 @@ object Multimodal {
         val content = r.getAs[Array[Byte]]("content")
         // decode chain: real image, then real audio (width:=sample rate,
         // height:=channels, feat:=per-channel RMS zero-padded to 8 — the
-        // modality column disambiguates), then the deterministic stub
+        // modality column disambiguates), then real AVI demux (container
+        // dimensions + first-frame luminance for MJPEG), then the
+        // deterministic stub (compressed codecs, corrupt bytes)
         val (w, h, feat) = decodeImage(content)
           .orElse(decodeAudio(content).map(a =>
             (a.sampleRate.toInt, a.channels, a.rms.padTo(8, 0.0f))))
+          .orElse(demuxAvi(content).flatMap { v =>
+            val (o, l) = v.frames.head
+            decodeImage(java.util.Arrays.copyOfRange(content, o, o + l))
+              .map { case (_, _, f) => (v.width, v.height, f) }
+          })
           .getOrElse(decodeStub(content))
         val digest =
           if (content == null) ""

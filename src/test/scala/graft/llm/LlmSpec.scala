@@ -351,6 +351,67 @@ class LlmSpec extends SparkSpec {
       "JPEG must decode with true dimensions")
   }
 
+  test("real MJPEG-AVI demux: true frame count/dims/timing; frames decode as JPEG") {
+    // assemble a structurally valid RIFF/AVI by hand: LIST hdrl with the
+    // avih main header, LIST movi with one 00dc chunk per JPEG frame
+    // (odd-length chunks even-padded per RIFF)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    def jpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, gray * 0x010101)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val usPerFrame = 33333L
+    val frames = (0 until 7).map(i => jpeg(32, 24, 30 * i))
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(usPerFrame), 0, avih, 0, 4)
+    System.arraycopy(le32(7L), 0, avih, 16, 4)     // dwTotalFrames
+    System.arraycopy(le32(32L), 0, avih, 32, 4)    // dwWidth
+    System.arraycopy(le32(24L), 0, avih, 36, 4)    // dwHeight
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++
+      list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+
+    val v = Multimodal.demuxAvi(avi).get
+    assert(v.width == 32 && v.height == 24 && v.usPerFrame == usPerFrame)
+    assert(v.frames.size == 7, s"true frame count, got ${v.frames.size}")
+    v.frames.zipWithIndex.foreach { case ((o, l), i) =>
+      val dec = Multimodal.decodeImage(java.util.Arrays.copyOfRange(avi, o, o + l))
+      assert(dec.exists { case (fw, fh, _) => fw == 32 && fh == 24 },
+        s"frame $i must decode as a 32x24 JPEG")
+    }
+    // sampleFrames: container-true indices, timing from avih, real payloads
+    val media = Seq((9L, "video", avi)).toDF("media_id", "modality", "content")
+    val all = Multimodal.sampleFrames(media, everyNth = 1).collect()
+      .sortBy(_.getAs[Int]("frame_idx"))
+    assert(all.length == 7)
+    assert(all(3).getAs[Long]("frame_ms") == 3 * usPerFrame / 1000)
+    val dec3 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(all(3).getAs[Array[Byte]]("frame")))
+    assert(dec3 != null && dec3.getWidth == 32 && dec3.getHeight == 24)
+    val every3 = Multimodal.sampleFrames(media, everyNth = 3).collect()
+      .map(_.getAs[Int]("frame_idx")).sorted
+    assert(every3.sameElements(Array(0, 3, 6)), every3.mkString(","))
+    // featurize: container dims + first-frame luminance (frame 0 is black)
+    val feat = Multimodal.featurize(media).head()
+    assert(feat.getAs[Int]("width") == 32 && feat.getAs[Int]("height") == 24)
+    assert(feat.getAs[scala.collection.Seq[Float]]("feat").forall(_ < 0.1f),
+      "first frame is black: luminance bands must be ~0")
+    // truncated AVI (frame chunk cut mid-payload) must reject, not mis-slice
+    assert(Multimodal.demuxAvi(avi.take(avi.length - 10)).isEmpty)
+  }
+
   test("multimodal frame sampling fans out lazily with every-Nth selection") {
     val videoBytes = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
     val media = Seq((7L, "video", videoBytes),
