@@ -22,9 +22,12 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 oracle = json.load(open(ORACLE))
 
-# warm the OS page cache so both engines are measured warm
+# warm the OS page cache so both engines are measured warm. hash(row)
+# forces every column's data pages through decompression — a plain
+# count(*) is answered from parquet row-group metadata and leaves the
+# first timed queries paying cold-read I/O.
 for t in TABLES:
-    con.sql(f"SELECT count(*) FROM {t}").fetchall()
+    con.sql(f"SELECT sum(hash(t)) FROM {t} t").fetchall()
 
 results = {}
 for name in sorted(oracle):
