@@ -19,6 +19,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // comma-separated query names: time only those (iteration aid; the
+    // driver never sets it, so its artifact is always the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def selected = if (only.isEmpty) SparkEntry.queries
+                   else SparkEntry.queries.filter { case (n, _) => only(n) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,14 +51,21 @@ object Bench {
     // first-run JIT/codegen/footer IO — the COLD number a user's first
     // session pays (recorded alongside steady-state in BASELINE.md).
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") try {
-      SparkEntry.queries.values.foreach { fn =>
+      selected.values.foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
         graft.core.Checkpoints.freeAll()
       }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val printCounts = sys.env.get("SPARK_GRAFT_PRINT_COUNTS").contains("1")
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try {
+        val c = fn(spark, sfDir).count()
+        // row counts to stderr on request: scale debugging (is a slow
+        // query producing 100x the rows, or doing 100x the work per row?)
+        if (printCounts) System.err.println(s"[rows] $name=$c")
+        true
+      } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // free each query's localCheckpoint blocks OUTSIDE its timing —
       // lingering checkpoint blocks across 124 executions grow

@@ -120,16 +120,32 @@ object Dedup {
     val bk = banded.join(broadcast(counts), Seq("band", "key"))
       .withColumn("k",
         least(lit(maxBlocks), ceil(col("bucket_n") / blockSize)).cast("int"))
+    // Pin the join's parallelism to the cluster, not to the input's
+    // partition count: both sides are explicitly repartitioned by the
+    // FULL join key. Without this, a corpus whose fingerprint table is
+    // broadcast-small lets AQE pick a broadcast join whose probe side
+    // inherits the few partitions of the tiny fp scan — the whole
+    // bucket²-pair evaluation then runs on 1-2 cores no matter how hot
+    // the buckets are (measured at sf1: 40 s wall, 1.6-core average,
+    // while 10× the data ran FASTER because it crossed the broadcast
+    // threshold into a shuffled join). An explicit numPartitions is
+    // exempt from AQE partition coalescing, which would otherwise
+    // re-merge these CPU-heavy-but-byte-light partitions; with both
+    // sides co-partitioned the join itself adds no further exchange.
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val joinKey = Seq(col("band"), col("key"), col("ci"), col("cj"))
     val a = bk
       .withColumn("ci", pmod(col("doc_id"), col("k")).cast("int"))
       .withColumn("cj", explode(sequence(col("ci"), col("k") - 1)))
       .select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
         col("band"), col("key"), col("ci"), col("cj"))
+      .repartition(para, joinKey: _*)
     val b = bk
       .withColumn("cj", pmod(col("doc_id"), col("k")).cast("int"))
       .withColumn("ci", explode(sequence(lit(0), col("cj"))))
       .select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"),
         col("band"), col("key"), col("ci"), col("cj"))
+      .repartition(para, joinKey: _*)
     // Both dedup decisions happen MAP-SIDE on the join output (fp_a and
     // fp_b are already in the row), so the pair stream needs no further
     // shuffle at all:

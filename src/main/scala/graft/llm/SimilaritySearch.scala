@@ -191,16 +191,27 @@ object SimilaritySearch {
     val bk = bucketed.join(broadcast(counts), Seq("bucket"))
       .withColumn("k",
         least(lit(maxBlocks), ceil(col("bucket_n") / blockSize)).cast("int"))
+    // Explicit repartition by the full join key on both sides: pins the
+    // pair-evaluation parallelism to the cluster even when one side is
+    // broadcast-small (otherwise the probe inherits the corpus scan's
+    // few partitions and the bucket² work serializes — see
+    // Dedup.simhashPairs for the measured pathology), and the explicit
+    // numPartitions keeps AQE from byte-coalescing these CPU-heavy
+    // partitions.
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val joinKey = Seq(col("bucket"), col("ci"), col("cj"))
     val a = bk
       .withColumn("ci", pmod(col("id"), col("k")).cast("int"))
       .withColumn("cj", explode(sequence(col("ci"), col("k") - 1)))
       .select(col("bucket"), col("ci"), col("cj"),
         col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("norm_a"))
+      .repartition(para, joinKey: _*)
     val b = bk
       .withColumn("cj", pmod(col("id"), col("k")).cast("int"))
       .withColumn("ci", explode(sequence(lit(0), col("cj"))))
       .select(col("bucket"), col("ci"), col("cj"),
         col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("norm_b"))
+      .repartition(para, joinKey: _*)
     a.join(b, Seq("bucket", "ci", "cj"))
       // same-block groups see both orientations (dedup by id order);
       // cross-block groups see exactly one — keep it and normalize below
