@@ -61,8 +61,17 @@ object Dedup {
           .as(Seq("band", "key")))
       .pipe(graft.core.Checkpoints.stable)
 
+    // Explicit repartition by the band key on both sides: the sigs
+    // checkpoint is byte-tiny, so AQE would otherwise broadcast one side
+    // and run the whole band-bucket pair emission on the checkpoint's
+    // 1-2 scan partitions (the measured simhashPairs pathology — see
+    // the repartition comment there; explicit numPartitions also keeps
+    // AQE from byte-coalescing CPU-heavy partitions).
+    val para = docs.sparkSession.sparkContext.defaultParallelism
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .repartition(para, col("band"), col("key"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+      .repartition(para, col("band"), col("key"))
     val candidates = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
