@@ -58,9 +58,28 @@ object SimilaritySearch {
     (0 until planes).map(h => when(planeDot(emb, h, dim) > 0, lit(1L << h)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Enforces the "query set must be broadcast-small" contract that
+    * [[topK]]/[[topKQuantized]]/[[topKLsh]] document: a bounded probe
+    * (limit max+1, so the check never scans more than max+1 rows) fails
+    * fast with an actionable error instead of OOMing the driver on a
+    * corpus-sized query set. Bound is `graft.ann.maxBroadcastQueries`
+    * (default 100k ≈ 30 MB of 64-dim float vectors broadcast).
+    */
+  private def requireBroadcastSmall(queries: DataFrame, entryPoint: String): Unit = {
+    val max = queries.sparkSession.conf
+      .getOption("graft.ann.maxBroadcastQueries").map(_.toLong).getOrElse(100000L)
+    val probed = queries.limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count()
+    require(probed <= max,
+      s"$entryPoint broadcasts the query set; it has > $max rows. Raise " +
+        "spark conf graft.ann.maxBroadcastQueries if this is intentional, or use " +
+        "SimilaritySearch.cosinePairsLshAuto (all-pairs) / IvfSearch.topK " +
+        "(persisted-index ANN) for corpus-scale query sets.")
+  }
+
   /** Exact brute-force cosine top-k for a query set (must be broadcast-small). */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireBroadcastSmall(queries, "SimilaritySearch.topK")
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val sims = corpus.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
@@ -91,6 +110,7 @@ object SimilaritySearch {
   def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions.bcosine
+    requireBroadcastSmall(queries, "SimilaritySearch.topKQuantized")
     val qc = corpus.select(col(idCol), quantizeInt8(col(embCol)).as("q8"))
     val qq = queries.select(col(idCol).as("q_id"), quantizeInt8(col(embCol)).as("q8_q"))
     val sims = qc.crossJoin(broadcast(qq))
@@ -116,6 +136,7 @@ object SimilaritySearch {
   def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, dim: Int = 64, probeRadius: Int = 1,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireBroadcastSmall(queries, "SimilaritySearch.topKLsh")
     val bCorpus = bucketize(corpus, planes, dim, embCol)
     val probeCols: Column => Seq[Column] = b => {
       val r0 = Seq(b)
@@ -187,8 +208,13 @@ object SimilaritySearch {
     val bucketed = bucketize(corpus, planes, dim, embCol)
       .select(col("bucket"), col(idCol).as("id"), col(embCol).as("emb"),
         norm(col(embCol)).as("nrm"))
+    // counts join is NOT hinted: with adaptivePlanes the histogram is
+    // ~N/targetBucket rows — broadcastable at test scale (AQE will pick
+    // that on its own) but a multi-GB forced broadcast at 10^11 vectors.
+    // Un-hinted, the planner degrades to a shuffle join keyed on bucket,
+    // which the repartition below pays for anyway.
     val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-    val bk = bucketed.join(broadcast(counts), Seq("bucket"))
+    val bk = bucketed.join(counts, Seq("bucket"))
       .withColumn("k",
         least(lit(maxBlocks), ceil(col("bucket_n") / blockSize)).cast("int"))
     // Explicit repartition by the full join key on both sides: pins the

@@ -277,6 +277,19 @@ object Extended {
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, String)]()
 
+  // every temp index root this JVM built, reaped on exit (including roots
+  // orphaned by identityHashCode-collision rebuilds) so repeated harness
+  // runs don't accumulate parquet directories on local disk
+  private val ivfTempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val ivfReaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    ivfTempRoots.forEach { r =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }))
+
   private def persistedIvfRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // evict entries whose session died so a harness that recreates
     // sessions doesn't accumulate dead roots
@@ -286,6 +299,8 @@ object Extended {
       val centroids = graft.llm.IvfSearch.trainCentroids(emb, k = 8, iters = 1)
       val index = graft.llm.IvfSearch.buildIndex(emb, centroids)
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      ivfReaper // install the shutdown-hook reaper once
+      ivfTempRoots.add(root)
       graft.llm.IvfSearch.saveIndex(root, "bench", "v1", centroids, index)
       (s, root)
     }

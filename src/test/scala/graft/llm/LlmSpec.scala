@@ -174,6 +174,24 @@ class LlmSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("broadcast-small contract: an oversized query set fails fast, not OOM") {
+    import spark.implicits._
+    val emb = (0 until 40).map(i => (i.toLong, Array.fill(8)(i + 1f))).toDF("vec_id", "embedding")
+    spark.conf.set("graft.ann.maxBroadcastQueries", "10")
+    try {
+      for (call <- Seq[() => Any](
+        () => SimilaritySearch.topK(emb, emb, 3),
+        () => SimilaritySearch.topKQuantized(emb, emb, 3),
+        () => SimilaritySearch.topKLsh(emb, emb, 3, dim = 8))) {
+        val e = intercept[IllegalArgumentException](call())
+        assert(e.getMessage.contains("graft.ann.maxBroadcastQueries"))
+        assert(e.getMessage.contains("cosinePairsLshAuto"), "error must point at the scale path")
+      }
+      // at the bound it still works
+      assert(SimilaritySearch.topK(emb, emb.limit(10), 3).count() > 0)
+    } finally spark.conf.unset("graft.ann.maxBroadcastQueries")
+  }
+
   test("cosinePairsLsh: saturated bucket (> blockSize vectors) matches the unchunked pair set") {
     // Positive scaling preserves every hyperplane sign bit, so all 300
     // vectors land in ONE bucket — the case that used to be a single

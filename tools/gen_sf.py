@@ -150,36 +150,61 @@ write("events", pa.table({
     "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, NE)],
 }))
 
-# ---- documents (word salad + ~5% near-dup mutated copies + ~0.2% exact) ----
+# ---- documents (Zipfian word salad + ~4.5% near-dup mutated copies + ~0.2% exact) ----
+# Vocabulary grows with the corpus (Heaps' law, V ~ 30 + 14*sqrt(ND)) and word
+# frequencies are Zipf-Mandelbrot (1/(rank+2.7)^1.07). A fixed 30-word vocab
+# saturates every 3-shingle's document frequency by sf10 (q35's df-64 cap then
+# excludes ALL shingles => 0 candidate pairs in both engines) and makes simhash
+# pair counts grow quadratically with corpus density. Scaling the vocab keeps
+# shingle df, minhash band occupancy, and simhash density realistic across
+# scale decades, so q34-q37/q45 measure real work at sf10+.
 ND = n(50_000)
-vocab = np.array("batch part spark line column order small sort fast value scan a hash slow "
-                 "query agg table stream filter big merge group the join vector key customer "
-                 "window data row".split())
+CORE = ("batch part spark line column order small sort fast value scan a hash slow "
+        "query agg table stream filter big merge group the join vector key customer "
+        "window data row").split()
+V = int(30 + 14 * np.sqrt(ND))
+vocab = np.array(CORE + [f"w{i:05d}" for i in range(V - len(CORE))])
+ranks = np.arange(1, V + 1, dtype=np.float64)
+zipf_p = 1.0 / (ranks + 2.7) ** 1.07
+zipf_p /= zipf_p.sum()
 langs = np.array(["en", "de", "es", "fr", "zh"])
 lang_p = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
-texts, doc_langs, doc_srcs = [], [], []
-for i in range(ND):
-    r = rng.random()
-    if i > 100 and r < 0.045:  # near-dup: copy an earlier doc, mutate a few tail words
-        j = int(rng.integers(max(0, i - 2000), i))
-        words = texts[j].split()
-        for _ in range(int(rng.integers(1, 4))):
-            words[int(rng.integers(len(words) // 2, len(words)))] = str(vocab[rng.integers(len(vocab))])
-        texts.append(" ".join(words))
-    elif i > 100 and r < 0.047:  # exact dup
-        texts.append(texts[int(rng.integers(max(0, i - 2000), i))])
-    else:
-        nw = int(rng.integers(10, 101))
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), nw)]))
-    doc_langs.append(str(langs[rng.choice(5, p=lang_p)]))
-    doc_srcs.append(f"src{int(rng.integers(0, 20))}")
-write("documents", pa.table({
-    "doc_id": pa.array(np.arange(ND), pa.int64()),
-    "text": texts,
-    "lang": doc_langs,
-    "source": doc_srcs,
-    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-}))
+doc_schema = pa.schema([
+    ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+    ("source", pa.string()), ("n_chars", pa.int64()),
+])
+dwriter = pq.ParquetWriter(f"{OUT}/documents.parquet", doc_schema, compression="snappy")
+from collections import deque
+recent = deque(maxlen=2000)  # dup sources: last 2000 texts, crossing chunk bounds
+DCHUNK = 200_000
+dwritten = 0
+while dwritten < ND:
+    c = min(DCHUNK, ND - dwritten)
+    nw = rng.integers(10, 101, c)
+    offs = np.concatenate(([0], np.cumsum(nw)))
+    wordpool = vocab[rng.choice(V, int(offs[-1]), p=zipf_p)]
+    texts = [" ".join(wordpool[offs[k]:offs[k + 1]]) for k in range(c)]
+    r = rng.random(c)
+    for k in range(c):
+        i = dwritten + k
+        if i > 100 and r[k] < 0.045:  # near-dup: copy a recent doc, mutate a few tail words
+            words = recent[-int(rng.integers(1, min(2000, i) + 1))].split()
+            for _ in range(int(rng.integers(1, 4))):
+                words[int(rng.integers(len(words) // 2, len(words)))] = str(vocab[rng.integers(V)])
+            texts[k] = " ".join(words)
+        elif i > 100 and r[k] < 0.047:  # exact dup
+            texts[k] = recent[-int(rng.integers(1, min(2000, i) + 1))]
+        recent.append(texts[k])
+    dwriter.write_table(row_group_size=max(2048, ND // 24), table=pa.table({
+        "doc_id": pa.array(np.arange(dwritten, dwritten + c), pa.int64()),
+        "text": texts,
+        "lang": langs[rng.choice(5, c, p=lang_p)],
+        "source": np.array([f"src{s}" for s in rng.integers(0, 20, c)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }, schema=doc_schema))
+    dwritten += c
+dwriter.close()
+print(f"documents: {ND} rows (vocab={V})")
 
 # ---- embeddings (10 Gaussian clusters in 64-dim) ----
 NV = n(20_000)
