@@ -35,31 +35,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleLen: Int = 3, numPerms: Int = 16,
                  bands: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    require(bands > 0 && numPerms > 0 && numPerms % bands == 0,
-      s"numPerms ($numPerms) must be a positive multiple of bands ($bands) — " +
-        "bands > numPerms would make every band key empty (an O(N²) cross " +
-        "product), and a remainder would silently waste trailing perms")
-    val rowsPerBand = numPerms / bands
-    // The persisted index is the distinct 60-bit shingle-HASH set per doc
-    // (array<long>, ~8 B/shingle) — shingle strings are never retained or
-    // shuffled. It feeds the signature build AND candidate verification
-    // (Jaccard over hash sets == Jaccard over string sets under the same
-    // hash on both engines), and the band self-join + verify joins reuse
-    // this one materialization instead of recomputing shingling+md5.
-    val hashSets = docs
-      .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHash64(col(textCol), shingleLen).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .pipe(graft.core.Checkpoints.stable)
-
-    // Band rows carry ONLY (band, key, id); materialized so the self-
-    // join below doesn't run the 16-perm signature build once per side.
-    val sigs = hashSets
-      .withColumn("sig", TextHash.minhashFromHashes(col("hs"), numPerms))
-      .select(col("doc_id"),
-        posexplode(TextHash.bandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "key")))
-      .pipe(graft.core.Checkpoints.stable)
+    requireBandParams(numPerms, bands)
+    val hashSets = lshHashSets(docs, shingleLen, idCol, textCol)
+    val sigs = lshBandRows(hashSets, numPerms, bands)
 
     // Explicit repartition by the band key on both sides: the sigs
     // checkpoint is byte-tiny, so AQE would otherwise broadcast one side
@@ -84,6 +62,180 @@ object Dedup {
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
     val uni = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
     candA.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
+  }
+
+  private def requireBandParams(numPerms: Int, bands: Int): Unit =
+    require(bands > 0 && numPerms > 0 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands) — " +
+        "bands > numPerms would make every band key empty (an O(N²) cross " +
+        "product), and a remainder would silently waste trailing perms")
+
+  /** The distinct 60-bit shingle-HASH set per doc (array<long>,
+    * ~8 B/shingle) — shingle strings are never retained or shuffled. It
+    * feeds the signature build AND candidate verification (Jaccard over
+    * hash sets == Jaccard over string sets under the same hash on both
+    * engines); checkpointed so band joins and verify joins reuse one
+    * materialization instead of recomputing shingling+md5.
+    */
+  private def lshHashSets(docs: DataFrame, shingleLen: Int,
+                          idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHash64(col(textCol), shingleLen).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .pipe(graft.core.Checkpoints.stable)
+
+  /** Band rows carry ONLY (band, key, id); materialized so a self-join
+    * doesn't run the numPerms-perm signature build once per side.
+    */
+  private def lshBandRows(hashSets: DataFrame, numPerms: Int, bands: Int): DataFrame =
+    hashSets
+      .withColumn("sig", TextHash.minhashFromHashes(col("hs"), numPerms))
+      .select(col("doc_id"),
+        posexplode(TextHash.bandKeys(col("sig"), bands, numPerms / bands))
+          .as(Seq("band", "key")))
+      .pipe(graft.core.Checkpoints.stable)
+
+  // ---- persisted LSH band index (incremental ingest dedup) ----
+  //
+  // Layout under `root` (any Hadoop-visible filesystem — local, HDFS,
+  // object store):
+  //   meta.json  {"shingle_len":L,"num_perms":P,"bands":B}
+  //   bands/     parquet (band int, key string, doc_id long)
+  //   hashes/    parquet (doc_id long, hs array<long>)
+  // The band table is exactly the join side minhashLsh computes per run;
+  // persisting it turns whole-corpus re-dedup (O(corpus) work per batch)
+  // into an append-only index: each new batch shuffles only ITS band
+  // rows against the index. The shingle-hash sets are persisted too so
+  // candidate verification (exact Jaccard) never touches original text.
+
+  private val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))
+
+  private val hashSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("hs",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Create an empty persisted index: writes meta.json (create-exclusive
+    * — two initializers race to exactly one winner on any FS with atomic
+    * create, mirroring catalog.PublishPrimitive's contract). Fails if the
+    * index already exists: band parameters are immutable for the life of
+    * an index (rows banded under different params must never join).
+    */
+  def initLshIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                   shingleLen: Int = 3, numPerms: Int = 16, bands: Int = 8): Unit = {
+    requireBandParams(numPerms, bands)
+    val (fs, rootPath) = hadoopFs(spark, root)
+    fs.mkdirs(rootPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/meta.json"), false)
+    try out.write(
+      s"""{"shingle_len":$shingleLen,"num_perms":$numPerms,"bands":$bands}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+                          root: String): (Int, Int, Int) = {
+    val (fs, _) = hadoopFs(spark, root)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/meta.json"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(s"$root/meta.json missing $k"))
+        .group(1).toInt
+    (field("shingle_len"), field("num_perms"), field("bands"))
+  }
+
+  /** Snapshot read of an index subdir: enumerate the parquet files NOW
+    * and build the plan over exactly those paths, so a same-call append
+    * (which only ADDS files) can never leak into this read — the dedup
+    * join stays new-vs-existing even though the returned DataFrame is
+    * evaluated later.
+    */
+  private def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (fs, p) = hadoopFs(spark, dir)
+    val files =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.toSeq: _*)
+  }
+
+  /** Incremental near-dup: dedup a NEW batch against the persisted index
+    * WITHOUT recomputing the corpus — the ingest-pipeline shape (the
+    * dedup analog of the T1 watermark resume). Returns verified pairs
+    * (doc_a, doc_b, jaccard), ids normalized ascending, covering
+    * new-vs-index and new-vs-new; with `append=true` the batch's band
+    * rows and hash sets are appended to the index afterwards, so
+    * incremental(batch1)..incremental(batchN) over a partition of the
+    * corpus yields EXACTLY the full-rebuild pair set, each pair once
+    * (spec: IncrementalLshSpec).
+    *
+    * Contract: doc ids are globally unique across batches (re-ingesting
+    * an id already in the index double-counts its band rows). Appends
+    * are plain parquet file adds — single-writer per index; a
+    * multi-writer deployment should serialize batch commits through
+    * catalog.PublishPrimitive like any other artifact.
+    *
+    * Scale shape: per batch the work is O(|batch| band rows) shuffled
+    * against the index's (band,key) table — the index side is an
+    * equi-join probe, never rewritten (appends only add files). Both
+    * join sides pin their exchange (explicit numPartitions on the full
+    * band key) for the measured byte-based-planner pathology: a
+    * byte-tiny new batch would otherwise broadcast and serialize the
+    * bucket-pair evaluation onto the index scan's partitioning.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, root: String,
+                            append: Boolean = true,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (shingleLen, numPerms, bands) = readLshMeta(spark, root)
+    val newHashes = lshHashSets(newDocs, shingleLen, idCol, textCol)
+    val newBands = lshBandRows(newHashes, numPerms, bands)
+      .select(col("band").cast("int").as("band"), col("key"), col("doc_id"))
+    val idxBands = snapshotRead(spark, s"$root/bands", bandSchema)
+    val idxHashes = snapshotRead(spark, s"$root/hashes", hashSchema)
+
+    val para = spark.sparkContext.defaultParallelism
+    val a = newBands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .repartition(para, col("band"), col("key"))
+    val b = idxBands.withColumn("is_new", lit(false))
+      .union(newBands.withColumn("is_new", lit(true)))
+      .select(col("doc_id").as("doc_b"), col("band"), col("key"), col("is_new"))
+      .repartition(para, col("band"), col("key"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // new-vs-new appears in both orientations — keep one; new-vs-index
+      // appears once (a-side is new-only) — keep it whatever the order
+      .filter(!col("is_new") || col("doc_a") < col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    val allHashes = idxHashes.union(newHashes)
+    val candA = candidates
+      .join(allHashes.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(allHashes.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val uni = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
+    val result = candA.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
+
+    if (append) {
+      newBands.write.mode("append").parquet(s"$root/bands")
+      newHashes.write.mode("append").parquet(s"$root/hashes")
+    }
+    result
   }
 
   /** SimHash fingerprints: 32-bit per doc over whitespace tokens. Pairs

@@ -17,7 +17,7 @@ object LlmOps {
     * banding → verified pairs) — also the edge source for q55's
     * clustering oracle.
     */
-  private[queries] val duckLshCtes: String =
+  private[queries] val duckLshBaseCtes: String =
     s"""sh AS MATERIALIZED (
        |  SELECT doc_id, ${TextHash.duckShingleHashes(3)} AS hs
        |  FROM documents
@@ -27,7 +27,10 @@ object LlmOps {
        |banded AS MATERIALIZED (
        |  SELECT doc_id, UNNEST(${TextHash.duckBandKeys("sig", 8, 2)}) AS key,
        |         UNNEST(generate_series(0, 7)) AS band
-       |  FROM sig),
+       |  FROM sig)""".stripMargin
+
+  private[queries] val duckLshCtes: String =
+    s"""$duckLshBaseCtes,
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
@@ -196,7 +199,78 @@ object LlmOps {
     sharedClusters(s, d).orderBy("doc_id")
   }
 
+  /** q69's persisted band index, built ONCE per (session, data dir):
+    * initLshIndex + one appending incremental pass over the "corpus"
+    * slice (doc_id % 4 != 0) on first ask. Every later call — including
+    * every timed bench pass — runs only the production ingest path: band
+    * rows for the NEW batch, equi-join against the persisted index,
+    * exact-Jaccard verify on candidates. Temp roots are reaped at JVM
+    * exit.
+    */
+  private val lshIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, String)]()
+  private val lshIdxTempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val lshIdxReaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    lshIdxTempRoots.forEach { r =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }))
+
+  private def persistedLshRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    lshIdxMemo.forEach((k, v) => if (v._1.sparkContext.isStopped) lshIdxMemo.remove(k, v))
+    def build(): (org.apache.spark.sql.SparkSession, String) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
+      lshIdxReaper
+      lshIdxTempRoots.add(root)
+      Dedup.initLshIndex(s, root)
+      // seed the index with the corpus slice; the returned (corpus-internal)
+      // pair set is irrelevant here — run it to completion for the append
+      Dedup.minhashLshIncremental(
+        Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), root).count()
+      (s, root)
+    }
+    val key = System.identityHashCode(s) + "|" + d
+    val cached = lshIdxMemo.computeIfAbsent(key, _ => build())
+    if (cached._1 eq s) cached._2
+    else { val fresh = build(); lshIdxMemo.put(key, fresh); fresh._2 }
+  }
+
+  /** Incremental ingest dedup (the production pipeline shape): the NEW
+    * batch (doc_id % 4 == 0) is deduped against the PERSISTED band index
+    * of the existing corpus (doc_id % 4 != 0) without recomputing the
+    * corpus — new-vs-index plus new-vs-new verified pairs. The oracle
+    * replays the identical band join in DuckDB with the same split; the
+    * batch-composability invariant (incremental batches == full rebuild)
+    * is spec-proven in IncrementalLshSpec.
+    */
+  val incrementalMinhash: Q = Q(
+    "q69_incremental_minhash",
+    s"""WITH $duckLshBaseCtes,
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 4 = 0 AND a.doc_id <> b.doc_id
+       |    AND (b.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)),
+       |verified AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+       |      len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
+       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+       |FROM verified
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val root = persistedLshRoot(s, d)
+    Dedup.minhashLshIncremental(
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0), root, append = false)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(
     minhashLsh, simhashFp, docFingerprint, multimodalMeta,
-    embeddingNearDup, lshBuckets, nearDupClusters)
+    embeddingNearDup, lshBuckets, nearDupClusters, incrementalMinhash)
 }

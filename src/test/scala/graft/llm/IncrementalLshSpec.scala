@@ -1,0 +1,55 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted-band-index contract: deduping a stream of batches
+  * incrementally against the index must yield EXACTLY the pair set of a
+  * whole-corpus rebuild — each pair discovered once, in the batch where
+  * its second member arrives.
+  */
+class IncrementalLshSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("incremental batches over a partition of the corpus == full rebuild pair set") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val full = pairSet(Dedup.minhashLsh(docs))
+    assert(full.nonEmpty, "test premise: the corpus must contain near-dups")
+
+    val root = tmpDir("lsh_idx")
+    Dedup.initLshIndex(spark, root)
+    val incremental = (0 until 3).map { b =>
+      pairSet(Dedup.minhashLshIncremental(docs.filter(col("doc_id") % 3 === b), root))
+    }
+    // no pair is discovered twice across batches...
+    assert(incremental.map(_.size).sum == incremental.reduce(_ union _).size,
+      "a pair was discovered in more than one batch")
+    // ...and the union is exactly the full rebuild
+    assert(incremental.reduce(_ union _) == full,
+      s"incremental union ${incremental.map(_.size).sum} pairs != full ${full.size}")
+  }
+
+  test("append=false leaves the index untouched (declared-query idempotency)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = tmpDir("lsh_idx_ro")
+    Dedup.initLshIndex(spark, root)
+    Dedup.minhashLshIncremental(docs.filter(col("doc_id") < 30), root).count()
+    def bandCount() = spark.read.parquet(s"$root/bands").count()
+    val before = bandCount()
+    val r1 = pairSet(Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 30), root, append = false))
+    val r2 = pairSet(Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 30), root, append = false))
+    assert(r1 == r2, "read-only incremental must be deterministic across calls")
+    assert(bandCount() == before, "append=false must not grow the index")
+  }
+
+  test("initLshIndex is create-exclusive: band params are immutable per index") {
+    val root = tmpDir("lsh_idx_excl")
+    Dedup.initLshIndex(spark, root)
+    intercept[Exception](Dedup.initLshIndex(spark, root, numPerms = 32))
+  }
+}
