@@ -13,7 +13,12 @@ import scala.jdk.CollectionConverters._
   */
 object ClaimStress {
   def main(args: Array[String]): Unit = {
-    val Array(logDir, countStr, tag) = args
+    val Array(logDir, countStr, tag, implName) = args
+    val impl: ManifestCatalog.PublishPrimitive = implName match {
+      case "link" => ManifestCatalog.PosixLinkPublish
+      case "claim" => ManifestCatalog.ClaimRenamePublish
+      case other => throw new IllegalArgumentException(s"unknown impl $other")
+    }
     val scratch = Files.createTempFile(s"claim-$tag", ".parquet")
     Files.write(scratch, tag.getBytes)
     (1 to countStr.toInt).foreach { _ =>
@@ -21,7 +26,7 @@ object ClaimStress {
       // own inode, like each staged commit batch does
       val f = Files.createTempFile(s"claim-$tag", ".parquet")
       Files.write(f, tag.getBytes)
-      ManifestCatalog.publishExclusive(logDir, f)
+      ManifestCatalog.publishExclusive(logDir, f, impl)
       Files.delete(f)
     }
     Files.delete(scratch)
@@ -43,17 +48,37 @@ class ConcurrentCommitSpec extends SparkSpec {
       .collect { case s if s.endsWith(".parquet") => s.stripSuffix(".parquet").toLong }
       .toSeq.sorted
 
-  test("two writer PROCESSES interleave into a gapless duplicate-free sequence") {
-    val logDir = Files.createTempDirectory("claimrace").toString
-    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
-    def spawn(tag: String) = new ProcessBuilder(
-      java, "-cp", sys.props("java.class.path"),
-      "graft.catalog.ClaimStress", logDir, "50", tag)
-      .inheritIO().start()
-    val (p1, p2) = (spawn("a"), spawn("b"))
-    assert(p1.waitFor() == 0 && p2.waitFor() == 0)
-    val seqs = seqsIn(logDir)
-    assert(seqs == (1L to 100L), s"expected gapless 1..100, got ${seqs.take(5)}...${seqs.takeRight(5)} (n=${seqs.size})")
+  // the race must hold for EVERY primitive behind the seam — the POSIX
+  // link(2) default and the link-free claim+atomic-rename impl (the
+  // HDFS/no-hardlink shape)
+  for (impl <- Seq("link", "claim"))
+    test(s"two writer PROCESSES interleave into a gapless duplicate-free sequence [$impl]") {
+      val logDir = Files.createTempDirectory(s"claimrace-$impl").toString
+      val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+      def spawn(tag: String) = new ProcessBuilder(
+        java, "-cp", sys.props("java.class.path"),
+        "graft.catalog.ClaimStress", logDir, "50", tag, impl)
+        .inheritIO().start()
+      val (p1, p2) = (spawn("a"), spawn("b"))
+      assert(p1.waitFor() == 0 && p2.waitFor() == 0)
+      val seqs = seqsIn(logDir)
+      assert(seqs == (1L to 100L), s"expected gapless 1..100, got ${seqs.take(5)}...${seqs.takeRight(5)} (n=${seqs.size})")
+    }
+
+  test("ClaimRenamePublish end-to-end: a catalog on the link-free primitive behaves identically") {
+    val root = Files.createTempDirectory("catclaim").toString
+    val cat = new ManifestCatalog(spark, root, ManifestCatalog.ClaimRenamePublish)
+    def entry(p: String, v: String) = ManifestEntry(
+      exchange = "ex", market = "m", symbol = "s", path = p, `type` = "raw",
+      time_from = 0L, time_to = 1L, version = v, checksum = "c",
+      created_at = 0L, script_git_hash = "g", metadata_json = "{}")
+    cat.addEntry(entry("p1", "1"))
+    cat.addEntry(entry("p1", "2"))
+    cat.addEntry(entry("p2", "1"))
+    val snap = cat.snapshot().select("path", "version").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("p1" -> "2", "p2" -> "1"))
+    assert(cat.currentSeq() == 3L)
   }
 
   test("publishExclusive drives any PublishPrimitive (object-store conditional-PUT shape)") {

@@ -95,4 +95,49 @@ class ManifestCatalogSpec extends SparkSpec {
     cat.addEntry(entry("p99"))
     assert(cat.listEntries().count() == 10)
   }
+
+  test("asOf time travel: every published seq replays the exact snapshot of its instant") {
+    val cat = new ManifestCatalog(spark, tmpDir("cat"))
+    cat.addEntry(entry("p1", version = "1")) // seq 1
+    cat.addEntry(entry("p1", version = "2")) // seq 2 (upsert)
+    cat.addEntry(entry("p2", version = "1")) // seq 3
+    cat.deleteEntries(path = Some("p1"))     // seq 4 (tombstone)
+    assert(cat.currentSeq() == 4L)
+    def view(seq: Long) = cat.asOf(seq).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[String]("version")).toMap
+    assert(view(1) == Map("p1" -> "1"))
+    assert(view(2) == Map("p1" -> "2"))
+    assert(view(3) == Map("p1" -> "2", "p2" -> "1"))
+    assert(view(4) == Map("p2" -> "1"))
+    // the current snapshot IS asOf(currentSeq)
+    assert(cat.snapshot().collect().map(_.getAs[String]("path")).toSet ==
+      cat.asOf(cat.currentSeq()).collect().map(_.getAs[String]("path")).toSet)
+  }
+
+  test("a pinned asOf read is stable while concurrent writers append") {
+    val root = tmpDir("cat")
+    val cat = new ManifestCatalog(spark, root)
+    (1 to 5).foreach(i => cat.addEntry(entry(s"p$i", to = i * 100L)))
+    val pin = cat.currentSeq()
+    def pinnedView() = cat.asOf(pin).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("time_to"), r.getAs[String]("version")))
+      .toSet
+    val baseline = pinnedView()
+    // a racing writer appends upserts OVER the pinned paths + new paths
+    val writer = new Thread(() => (1 to 8).foreach { i =>
+      new ManifestCatalog(spark, root).addEntry(entry(s"p${i % 5 + 1}", to = 9999L, version = "99"))
+    })
+    writer.start()
+    // every read at the pin, mid-race and after it, is identical
+    val midRace = (1 to 4).map(_ => pinnedView())
+    writer.join()
+    val afterRace = pinnedView()
+    assert((midRace :+ afterRace).forall(_ == baseline),
+      "pinned asOf read changed under concurrent appends")
+    // the un-pinned snapshot DID move — the pin is what isolated us
+    assert(cat.snapshot().filter(org.apache.spark.sql.functions.col("version") === "99").count() > 0)
+    // an audit-style query runs at the pin: which catalog paths vanished since?
+    val vanished = cat.asOf(pin).select("path").except(cat.snapshot().select("path")).count()
+    assert(vanished == 0L) // appends only upserted — nothing vanished
+  }
 }
