@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped temp artifact roots for declared queries that exercise
+  * a PERSISTED structure (IVF index, LSH band index, compacted lake):
+  * the structure is built ONCE per (session, logical key) into a temp
+  * directory, every later ask returns the same root (so timed bench
+  * passes measure only the steady-state read path), and every root this
+  * JVM created is reaped by a single shutdown hook. Entries whose
+  * session has stopped are evicted so harnesses that recreate sessions
+  * don't accumulate dead roots; identityHashCode collisions across
+  * sessions are guarded by an identity check on the cached session.
+  */
+object SessionTempRoots {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+  private val roots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val reaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    roots.forEach { r =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }))
+
+  /** The memoized temp root for (session, key); `build(root)` runs once,
+    * on the first ask, against a fresh empty directory.
+    */
+  def of(s: SparkSession, key: String, prefix: String)(build: String => Unit): String = {
+    memo.forEach((k, v) => if (v._1.sparkContext.isStopped) memo.remove(k, v))
+    def make(): (SparkSession, String) = {
+      val root = java.nio.file.Files.createTempDirectory(prefix).toString
+      reaper
+      roots.add(root)
+      build(root)
+      (s, root)
+    }
+    // prefix is part of the identity: different artifact kinds memoize
+    // independently for the same (session, data dir)
+    val fullKey = System.identityHashCode(s) + "|" + prefix + "|" + key
+    val cached = memo.computeIfAbsent(fullKey, _ => make())
+    if (cached._1 eq s) cached._2
+    else { val fresh = make(); memo.put(fullKey, fresh); fresh._2 }
+  }
+}

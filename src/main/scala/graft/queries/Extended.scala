@@ -274,43 +274,13 @@ object Extended {
     * that read path (persisted centroids parquet + cluster-partitioned
     * index, bit-exact across sessions per IvfSpec).
     */
-  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, String)]()
-
-  // every temp index root this JVM built, reaped on exit (including roots
-  // orphaned by identityHashCode-collision rebuilds) so repeated harness
-  // runs don't accumulate parquet directories on local disk
-  private val ivfTempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private lazy val ivfReaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    ivfTempRoots.forEach { r =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
-    }))
-
-  private def persistedIvfRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    // evict entries whose session died so a harness that recreates
-    // sessions doesn't accumulate dead roots
-    ivfMemo.forEach((k, v) => if (v._1.sparkContext.isStopped) ivfMemo.remove(k, v))
-    def build(): (org.apache.spark.sql.SparkSession, String) = {
+  private def persistedIvfRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_ivf_") { root =>
       val emb = Tables.embeddings(s, d)
       val centroids = graft.llm.IvfSearch.trainCentroids(emb, k = 8, iters = 1)
       val index = graft.llm.IvfSearch.buildIndex(emb, centroids)
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-      ivfReaper // install the shutdown-hook reaper once
-      ivfTempRoots.add(root)
       graft.llm.IvfSearch.saveIndex(root, "bench", "v1", centroids, index)
-      (s, root)
     }
-    val key = System.identityHashCode(s) + "|" + d
-    val cached = ivfMemo.computeIfAbsent(key, _ => build())
-    // identityHashCode can collide across sessions in a long-lived JVM —
-    // trust the entry only if it is literally this session's
-    if (cached._1 eq s) cached._2
-    else { val fresh = build(); ivfMemo.put(key, fresh); fresh._2 }
-  }
 
   /** IVF ANN over the PERSISTED index — full bit-exact DuckDB oracle
     * (seeding, Lloyd update, assignment, probe and rank all replicated
@@ -360,7 +330,63 @@ object Extended {
       .orderBy("event_type")
   }
 
+  /** q70's lake, built + compacted ONCE per (session, data dir): orders
+    * series-ified (constant series key, year/month partitions from
+    * o_orderdate) and written deliberately FRAGMENTED (repartition(6) ⇒
+    * up to 6 files per month dir), then LakeMaintenance.compactSeries
+    * rewrites every fragmented month to one ts-sorted file.
+    */
+  private def compactedLakeRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_lake_") { root =>
+      Tables.orders(s, d).select(
+          col("o_orderkey").as("k"),
+          col("o_orderdate").as("ts"),
+          round(col("o_totalprice") * 100).cast("long").as("value_cents"),
+          lit("BENCH").as("exchange"), lit("T").as("market"), lit("ORD").as("symbol"),
+          lit("series").as("type"), lit("1d").as("period"),
+          year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+        .repartition(6)
+        .write.mode("overwrite")
+        .partitionBy("exchange", "market", "symbol", "type", "period", "year", "month")
+        .parquet(root)
+      val rewritten = new graft.storage.LakeMaintenance(s, root)
+        .compactSeries(graft.storage.SeriesKey("BENCH", "T", "ORD", "series", "1d"),
+          maxFiles = 1)
+      require(rewritten > 0, "q70 premise: the fragmented lake must need compaction")
+    }
+
+  /** Compaction invariance, driver-gated (SURVEY §7.4 #5 — the
+    * reference's empty `daily_offload_flow` done properly and PROVEN):
+    * the query reads the COMPACTED lake and reports per-month row
+    * count, content sums, and a per-month `compacted` flag
+    * (countDistinct(input_file_name) ≤ cap). The oracle computes the
+    * same aggregates from the SOURCE table — any row lost, duplicated,
+    * or cross-partition-leaked by the rewrite breaks the hash, and a
+    * month left fragmented breaks the TRUE literal.
+    */
+  val compactionInvariance: Q = Q(
+    "q70_compaction_invariance",
+    """SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |       CAST(month(o_orderdate) AS INT) AS month,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |       TRUE AS compacted
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY year, month""".stripMargin) { (s, d) =>
+    s.read.parquet(compactedLakeRoot(s, d))
+      .withColumn("_f", input_file_name())
+      .groupBy(col("year"), col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value_cents")).as("sum_cents"),
+        sum(col("k")).as("key_sum"),
+        (countDistinct(col("_f")) <= 1).as("compacted"))
+      .orderBy("year", "month")
+  }
+
   val all: Seq[Q] = Seq(
     groupingSets, mathSuite, pagination, sessionWindows, arrayOps,
-    simhashPairs, qualityGate, langIdDist, annLsh, annIvf, mapOps)
+    simhashPairs, qualityGate, langIdDist, annLsh, annIvf, mapOps,
+    compactionInvariance)
 }

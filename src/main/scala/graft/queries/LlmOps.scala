@@ -207,36 +207,14 @@ object LlmOps {
     * exact-Jaccard verify on candidates. Temp roots are reaped at JVM
     * exit.
     */
-  private val lshIdxMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, String)]()
-  private val lshIdxTempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private lazy val lshIdxReaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    lshIdxTempRoots.forEach { r =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
-    }))
-
-  private def persistedLshRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    lshIdxMemo.forEach((k, v) => if (v._1.sparkContext.isStopped) lshIdxMemo.remove(k, v))
-    def build(): (org.apache.spark.sql.SparkSession, String) = {
-      val root = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
-      lshIdxReaper
-      lshIdxTempRoots.add(root)
+  private def persistedLshRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_lsh_") { root =>
       Dedup.initLshIndex(s, root)
       // seed the index with the corpus slice; the returned (corpus-internal)
       // pair set is irrelevant here — run it to completion for the append
       Dedup.minhashLshIncremental(
         Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), root).count()
-      (s, root)
     }
-    val key = System.identityHashCode(s) + "|" + d
-    val cached = lshIdxMemo.computeIfAbsent(key, _ => build())
-    if (cached._1 eq s) cached._2
-    else { val fresh = build(); lshIdxMemo.put(key, fresh); fresh._2 }
-  }
 
   /** Incremental ingest dedup (the production pipeline shape): the NEW
     * batch (doc_id % 4 == 0) is deduped against the PERSISTED band index

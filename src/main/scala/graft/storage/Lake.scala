@@ -39,6 +39,40 @@ final case class WriteReport(rows: Long, timeFrom: Long, timeTo: Long,
   *  - data is sorted by ts within each written file so Parquet row-group
   *    min/max stats stay tight for ts-range pushdown (`writer.py:92`).
   */
+/** The one sanctioned way to open the lake root: partition-column TYPE
+  * INFERENCE DISABLED, then year/month explicitly cast back to int.
+  *
+  * Why: inference parses each partition value with the JVM numeric
+  * parsers, and `Double.parseDouble("1d")` SUCCEEDS — `d` is a Java
+  * double-literal suffix — so a lake holding only `period=1d` series
+  * reads that column as DOUBLE 1.0. Every string comparison against
+  * "1d" then silently misses, and a maintenance rewrite re-derives the
+  * directory as `period=1.0/`, forking the series (caught by q70's
+  * compaction-invariance oracle; `period=1m` specs never trip it
+  * because `m` isn't a numeric suffix). With inference off every
+  * partition value round-trips byte-identical; year/month are re-typed
+  * deliberately (pure digits, exact) because both pruning paths compare
+  * them as ints. Pruning survives the cast: partition filters are
+  * evaluated against the partition spec, cast included.
+  */
+private[storage] object LakeIO {
+  val InferenceConf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+  def read(spark: SparkSession, root: String, mergeSchema: Boolean = true): DataFrame = {
+    val prev = spark.conf.getOption(InferenceConf)
+    spark.conf.set(InferenceConf, "false")
+    try {
+      val df = spark.read.option("mergeSchema", mergeSchema.toString).parquet(root)
+      df.schema // force partition discovery NOW, while inference is off
+      df.withColumn("year", col("year").cast("int"))
+        .withColumn("month", col("month").cast("int"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(InferenceConf, v)
+      case None => spark.conf.unset(InferenceConf)
+    }
+  }
+}
+
 final class LakeWriter(spark: SparkSession, root: String) {
 
   private val partCols = Seq("exchange", "market", "symbol", "type", "period", "year", "month")
@@ -132,7 +166,7 @@ final class LakeWriter(spark: SparkSession, root: String) {
 
   private def readSeries(k: SeriesKey): Option[DataFrame] =
     try {
-      val df = spark.read.option("mergeSchema", "true").parquet(root)
+      val df = LakeIO.read(spark, root)
         .filter(col("exchange") === k.exchange && col("market") === k.market &&
           col("symbol") === k.symbol && col("type") === k.`type` &&
           col("period") === k.period)
@@ -176,7 +210,7 @@ final class LakeWriter(spark: SparkSession, root: String) {
 final class LakeReader(spark: SparkSession, root: String) {
 
   private def base(mergeSchema: Boolean): DataFrame =
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(root)
+    LakeIO.read(spark, root, mergeSchema)
 
   /** Range scan: partition-pruned by series key AND by year/month bounds
     * derived from the ts range (exceeding the reference, which only

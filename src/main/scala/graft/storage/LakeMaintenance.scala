@@ -25,10 +25,10 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
         col("symbol") === k.symbol && col("type") === k.`type` &&
         col("period") === k.period
 
-    // mergeSchema: the root holds heterogeneous series (candles,
-    // funding, ticks) — a schema sampled from another series' file
-    // would silently drop this series' data columns on rewrite
-    val df = spark.read.option("mergeSchema", "true").parquet(root).filter(seriesPred)
+    // mergeSchema (via LakeIO.read): the root holds heterogeneous series
+    // (candles, funding, ticks) — a schema sampled from another series'
+    // file would silently drop this series' data columns on rewrite
+    val df = LakeIO.read(spark, root).filter(seriesPred)
     // which (year, month) dirs have too many files?
     val byPartition = df
       .select(col("year"), col("month"), input_file_name().as("f"))
@@ -46,7 +46,7 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
       .reduce(_ || _)
 
     // rewrite only the fragmented dirs (dynamic partition overwrite)
-    spark.read.option("mergeSchema", "true").parquet(root)
+    LakeIO.read(spark, root)
       .filter(seriesPred && monthPred)
       .localCheckpoint(true) // the write overwrites what this scan reads
       .repartition(partCols.map(col): _*)

@@ -38,6 +38,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(new LakeMaintenance(spark, root).compactSeries(key) == 0L)
   }
 
+  test("compaction round-trips period=1d exactly (Java double-suffix inference trap)") {
+    // "1d" parses as DOUBLE 1.0 under partition type inference (d is a
+    // Java double-literal suffix) — before LakeIO pinned inference off,
+    // compaction re-derived the directory as period=1.0/ and FORKED the
+    // series. "1m" never trips it (m isn't a numeric suffix), which is
+    // why the original spec missed it; q70's oracle caught it.
+    val root = tmpDir("lake1d")
+    val key = SeriesKey("EX", "SPOT", "SYM", "raw", "1d")
+    val all = genCandles(60)
+    all.grouped(20).foreach { chunk =>
+      candleDf(chunk)
+        .withColumn("exchange", lit("EX")).withColumn("market", lit("SPOT"))
+        .withColumn("symbol", lit("SYM")).withColumn("type", lit("raw"))
+        .withColumn("period", lit("1d"))
+        .withColumn("year", year(timestamp_millis(col("ts"))))
+        .withColumn("month", month(timestamp_millis(col("ts"))))
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("exchange", "market", "symbol", "type", "period", "year", "month")
+        .parquet(root)
+    }
+    assert(new LakeMaintenance(spark, root).compactSeries(key) == 1L)
+    val dirs = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val periodDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("period=")).toSet
+    assert(periodDirs == Set("period=1d"), s"series forked into $periodDirs")
+    val back = LakeIO.read(spark, root)
+    assert(back.count() == 60)
+    assert(back.select("period").distinct().collect().map(_.getString(0)).toSeq == Seq("1d"))
+    assert(back.select(input_file_name()).distinct().count() == 1L)
+  }
+
   test("binaryFile source maps into the media schema") {
     val dir = tmpDir("media")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bin"), "imagebytes".getBytes)
