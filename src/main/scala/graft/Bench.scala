@@ -25,7 +25,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def selected = if (only.isEmpty) SparkEntry.queries
                    else SparkEntry.queries.filter { case (n, _) => only(n) }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -40,7 +40,13 @@ object Bench {
       // executions in one JVM: periodic GC lets the ContextCleaner drop
       // unreferenced shuffle/broadcast/RDD state even between freeAll calls
       .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    // experiment hook: ';'-separated k=v spark confs, applied LAST so
+    // they override the defaults above (e.g. SPARK_GRAFT_CONF=
+    // "spark.sql.adaptive.enabled=false;spark.sql.shuffle.partitions=8")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (not timed): run every query once AT THE TARGET SF. AQE
     // re-plans per scale factor (different join strategies ⇒ different

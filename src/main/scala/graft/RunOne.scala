@@ -18,7 +18,7 @@ object RunOne {
     val runs = args.sliding(2).collectFirst {
       case Array("--runs", n) => n.toInt }.getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -26,8 +26,34 @@ object RunOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", Bench.autoSplitBytes(sfDir))
-      .getOrCreate()
+    // same experiment hook as Bench
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "--floor") {
+      // decompose the per-query fixed floor: steady-state wall for (a) a
+      // no-data action (pure plan+schedule+collect), (b) a one-shuffle
+      // agg over in-memory range, (c) a parquet scan+agg — each the
+      // minimal query of its plan class
+      def time(label: String)(f: => Unit): Unit = {
+        (1 to 3).foreach(_ => f) // warm: JIT + codegen cache
+        val t0 = System.nanoTime()
+        val n = 10
+        (1 to n).foreach(_ => f)
+        println(f"[floor] $label: ${(System.nanoTime() - t0) / 1e6 / n}%.1f ms/op")
+      }
+      time("select-1 (no data)") { spark.sql("SELECT 1").count(): Unit }
+      time("range-1M map agg (no shuffle)") {
+        spark.range(1000000).selectExpr("sum(id)").count(): Unit }
+      time("range-1M groupBy agg (one shuffle)") {
+        spark.range(1000000).selectExpr("id % 13 k", "id v")
+          .groupBy("k").sum("v").count(): Unit }
+      time("parquet scan+agg (nation)") {
+        spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count(): Unit }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     var lastDf: org.apache.spark.sql.DataFrame = null

@@ -68,7 +68,10 @@ object SimilaritySearch {
   private def requireBroadcastSmall(queries: DataFrame, entryPoint: String): Unit = {
     val max = queries.sparkSession.conf
       .getOption("graft.ann.maxBroadcastQueries").map(_.toLong).getOrElse(100000L)
-    val probed = queries.limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count()
+    // select(lit) prunes every data column, so the probe scan reads
+    // row-group metadata, not embedding bytes
+    val probed = queries.select(lit(1))
+      .limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count()
     require(probed <= max,
       s"$entryPoint broadcasts the query set; it has > $max rows. Raise " +
         "spark conf graft.ann.maxBroadcastQueries if this is intentional, or use " +
