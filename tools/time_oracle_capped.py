@@ -63,6 +63,7 @@ with open(OUT, "a") as out:
             stderr=subprocess.PIPE, text=True)
         p.stdin.write(oracle[name])
         p.stdin.close()
+        p.stdin = None  # communicate() would flush the closed handle and throw
         # setup + warm runs uncapped; the cap clock starts at READY
         ready = p.stdout.readline().strip()
         status, sec = "ok", None
