@@ -2,15 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema converter
-  * rejects; `spark.sql.legacy.parquet.nanosAsLong` reads it as a LONG of
-  * epoch-nanoseconds, which is also the most precise representation for
-  * lag/gap arithmetic (SURVEY §2.5 W1). DuckDB oracle equivalents use
-  * `epoch_ns(ts)`.
+  * `events.ts` is schema-on-read (the reference guarantees only that a `ts`
+  * column exists — dl-datalake `storage/writer.py:162-164`; physical encoding
+  * drifts with the writer): parquet TIMESTAMP(NANOS) arrives as a LONG of
+  * epoch-nanoseconds via `spark.sql.legacy.parquet.nanosAsLong`, while
+  * TIMESTAMP(MICROS)/TIMESTAMP_NTZ (pandas-written) arrives as a timestamp
+  * type. [[events]] normalizes both to the same canonical LONG epoch-ns
+  * column so downstream µs arithmetic ([[nsToUs]]) is encoding-independent.
+  * DuckDB oracle equivalents use `epoch_us(ts)`, which is likewise
+  * encoding-independent.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -26,10 +30,24 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events with `ts` as LONG epoch-nanoseconds. */
+  /** events with `ts` normalized to LONG epoch-nanoseconds, whatever the
+    * file's physical encoding (see class doc). µs-typed files multiply by
+    * 1000 exactly (epoch-µs ≈ 1.7e15, ×1000 ≪ Long.MaxValue); session TZ is
+    * pinned UTC so NTZ wall-clock == UTC instant, matching the oracle.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    normalizeTsNs(t(spark, dir, "events"))
+  }
+
+  /** Schema-adaptive `ts` → LONG epoch-ns normalization (SURVEY §2.8 F1). */
+  def normalizeTsNs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df // TIMESTAMP(NANOS) file read via nanosAsLong
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts must be a timestamp or epoch-ns long, got $other")
   }
 
   /** Exact money/measure arithmetic: cast to DECIMAL(18,2) before summing so

@@ -134,16 +134,19 @@ while done < NL:
 writer.close()
 print(f"lineitem: {NL} rows")
 
-# ---- events (ns timestamps, 30 days of 2024-01, sorted by ts) ----
+# ---- events (us timestamps matching the driver's pandas-written encoding,
+# 30 days of 2024-01, sorted by ts; the ns-encoding read path is pinned by
+# EventsTsEncodingSpec instead so builder bench data and driver gate data
+# can't silently diverge again) ----
 NE = n(1_000_000)
 NU = n(1_500)
 etypes = np.array(["click", "error", "purchase", "signup", "view"])
-t0 = 1_704_067_200_000_000_000  # 2024-01-01 UTC ns
-span = 30 * 86_400 * 1_000_000_000
+t0 = 1_704_067_200_000_000  # 2024-01-01 UTC us
+span = 30 * 86_400 * 1_000_000
 ts = np.sort(t0 + rng.integers(0, span, NE))
 write("events", pa.table({
     "event_id": pa.array(np.arange(NE), pa.int64()),
-    "ts": pa.array(ts, pa.timestamp("ns")),
+    "ts": pa.array(ts, pa.timestamp("us")),
     "user_id": pa.array(rng.integers(0, NU, NE), pa.int64()),
     "event_type": etypes[rng.integers(0, 5, NE)],
     "value": np.round(rng.lognormal(3.0, 1.2, NE), 2),
