@@ -238,6 +238,66 @@ object Dedup {
     result
   }
 
+  /** Compact the persisted LSH index: each incremental batch appends one
+    * file set to bands/ and hashes/, so after many batches the probe side
+    * of every future dedup is a small-files scan — the same disease
+    * `LakeMaintenance.compactSeries` and q70 cure for the lake. Rewrites
+    * each subdir to ≤ `targetFiles` files, clustered on the probe key
+    * ((band, key) for bands/, doc_id for hashes/) and sorted within
+    * partitions so row groups RLE-compress and min/max prune.
+    *
+    * Same single-writer contract as the append path (see
+    * [[minhashLshIncremental]]): run it between batches, not during one.
+    * Swap protocol: write to `<dir>.compacting`, then two renames with
+    * the old data parked at `<dir>.trash` until the new dir is live —
+    * the index is never the only copy mid-swap; the crash window is the
+    * instant between the renames (the ClaimRenamePublish trade-off,
+    * documented at `ManifestCatalog.scala` — recovery = rename trash
+    * back). Leftover `.compacting`/`.trash` dirs from a crash are
+    * cleared on the next call. Returns (filesBefore, filesAfter) summed
+    * over both subdirs; a no-op (already ≤ target) returns equal counts.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                      targetFiles: Int = 4): (Long, Long) = {
+    readLshMeta(spark, root) // fail fast on a non-index dir
+    val (fs, _) = hadoopFs(spark, root)
+
+    def parquetFiles(dir: String): Array[org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    }
+
+    def compactDir(sub: String, schema: org.apache.spark.sql.types.StructType,
+                   clusterCols: Seq[String]): (Long, Long) = {
+      val dir = s"$root/$sub"
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+      val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
+      fs.delete(tmp, true); fs.delete(trash, true) // crash leftovers
+      val before = parquetFiles(dir).length.toLong
+      if (before <= targetFiles) return (before, before)
+      snapshotRead(spark, dir, schema)
+        .repartition(targetFiles, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val live = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.rename(live, trash))
+        throw new java.io.IOException(s"compactLshIndex: cannot park $dir")
+      if (!fs.rename(tmp, live)) { // restore — the index must stay readable
+        fs.rename(trash, live)
+        throw new java.io.IOException(s"compactLshIndex: swap failed for $dir")
+      }
+      fs.delete(trash, true)
+      (before, parquetFiles(dir).length.toLong)
+    }
+
+    val (b0, b1) = compactDir("bands", bandSchema, Seq("band", "key"))
+    val (h0, h1) = compactDir("hashes", hashSchema, Seq("doc_id"))
+    (b0 + h0, b1 + h1)
+  }
+
   /** SimHash fingerprints: 32-bit per doc over whitespace tokens. Pairs
     * within a Hamming radius are found by joining on byte-bands (any of
     * the 4 bytes equal ⇒ candidate — exact for radius ≤ 3 by pigeonhole

@@ -385,8 +385,84 @@ object Extended {
       .orderBy("year", "month")
   }
 
+  /** q71's catalog, built ONCE per (session, data dir): three totally-
+    * ordered commits derived from supplier — (1) add every supplier's
+    * series entry at version v1 (suppliers divisible by 5 typed "old"),
+    * (2) overwrite the version-bumped subset (divisible by 3, not
+    * destined for deletion) at v2, (3) tombstone every "old"-typed entry
+    * in one commit. The published seq after each commit is pinned to
+    * `pins.json` so the query can time-travel to exact commit points.
+    * Suppliers are capped at key ≤ 1000: a catalog is metadata-sized by
+    * design (entries describe whole partitions, not rows), so the
+    * fixture must not grow with the data decade.
+    */
+  private def timeTravelCatalogRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_tt_cat_") { root =>
+      val cat = new graft.catalog.ManifestCatalog(s, root)
+      val ks = Tables.supplier(s, d).select(col("s_suppkey"))
+        .filter(col("s_suppkey") <= 1000)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      require(ks.nonEmpty, "q71 premise: supplier table must be non-empty")
+      def entry(k: Long, ver: String, to: Long, typ: String) = graft.model.ManifestEntry(
+        exchange = "X", market = "M", symbol = s"S$k", path = s"p$k", `type` = typ,
+        time_from = 0L, time_to = to, version = ver, checksum = "",
+        created_at = 0L, script_git_hash = "", metadata_json = "{}")
+      cat.addEntries(ks.map(k => entry(k, "v1", k * 10, if (k % 5 == 0) "old" else "raw")))
+      val s1 = cat.currentSeq()
+      cat.addEntries(ks.filter(k => k % 3 == 0 && k % 5 != 0)
+        .map(k => entry(k, "v2", k * 10 + 5, "raw")))
+      val s2 = cat.currentSeq()
+      cat.deleteEntries(`type` = Some("old"))
+      val s3 = cat.currentSeq()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/pins.json"),
+        s"""{"s1":$s1,"s2":$s2,"s3":$s3}""".getBytes("UTF-8"))
+      ()
+    }
+
+  /** Catalog time travel, driver-gated (S12 [EXT]; the reference's
+    * version-rollback surface, `dl-datalake/tests/integration/
+    * test_11_versioning.py`; Delta/Iceberg snapshot-read shape): read
+    * the SAME catalog at three pinned commit seqs and aggregate what
+    * each snapshot sees. The oracle replays the log fold arithmetically
+    * over supplier — if a later commit leaks into an earlier pin (s1
+    * showing a v2 row or missing a tombstoned-later row), or the
+    * tombstone fails to delete, the (snap, version) counts and time_to
+    * sums hash-mismatch.
+    */
+  val timeTravel: Q = Q(
+    "q71_time_travel",
+    """WITH s AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000),
+      |snap1 AS (SELECT 'v1' AS version, k * 10 AS t FROM s),
+      |snap2 AS (SELECT CASE WHEN k % 3 = 0 AND k % 5 <> 0 THEN 'v2' ELSE 'v1' END AS version,
+      |                 CASE WHEN k % 3 = 0 AND k % 5 <> 0 THEN k * 10 + 5 ELSE k * 10 END AS t
+      |          FROM s),
+      |snap3 AS (SELECT CASE WHEN k % 3 = 0 THEN 'v2' ELSE 'v1' END AS version,
+      |                 CASE WHEN k % 3 = 0 THEN k * 10 + 5 ELSE k * 10 END AS t
+      |          FROM s WHERE k % 5 <> 0)
+      |SELECT snap, version, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS sum_to
+      |FROM (SELECT 's1' AS snap, version, t FROM snap1
+      |      UNION ALL SELECT 's2', version, t FROM snap2
+      |      UNION ALL SELECT 's3', version, t FROM snap3)
+      |GROUP BY snap, version
+      |ORDER BY snap, version""".stripMargin) { (s, d) =>
+    val root = timeTravelCatalogRoot(s, d)
+    val pinsText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/pins.json")), "UTF-8")
+    def pin(k: String): Long =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(pinsText).get.group(1).toLong
+    val cat = new graft.catalog.ManifestCatalog(s, root)
+    def snap(label: String, seq: Long) =
+      cat.asOf(seq).select(lit(label).as("snap"), col("version"), col("time_to"))
+    snap("s1", pin("s1"))
+      .unionByName(snap("s2", pin("s2")))
+      .unionByName(snap("s3", pin("s3")))
+      .groupBy(col("snap"), col("version"))
+      .agg(count(lit(1)).as("n"), sum(col("time_to")).as("sum_to"))
+      .orderBy("snap", "version")
+  }
+
   val all: Seq[Q] = Seq(
     groupingSets, mathSuite, pagination, sessionWindows, arrayOps,
     simhashPairs, qualityGate, langIdDist, annLsh, annIvf, mapOps,
-    compactionInvariance)
+    compactionInvariance, timeTravel)
 }

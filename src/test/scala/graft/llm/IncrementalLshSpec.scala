@@ -52,4 +52,35 @@ class IncrementalLshSpec extends SparkSpec {
     Dedup.initLshIndex(spark, root)
     intercept[Exception](Dedup.initLshIndex(spark, root, numPerms = 32))
   }
+
+  test("compactLshIndex: bounded file count after 50 batches, dedup results invariant") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").cache()
+    val root = tmpDir("lsh_idx_compact")
+    Dedup.initLshIndex(spark, root)
+    // 50 tiny appends: the realistic ingest cadence that fragments the index
+    (0 until 50).foreach { b =>
+      Dedup.minhashLshIncremental(docs.filter(col("doc_id") % 50 === b), root).count()
+    }
+    def files(sub: String): Long = {
+      val d = new java.io.File(s"$root/$sub")
+      d.listFiles().count(_.getName.endsWith(".parquet")).toLong
+    }
+    assert(files("bands") >= 50, "test premise: appends fragment the index")
+    // the probe a NEXT batch would run, before vs after compaction
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val before = pairSet(Dedup.minhashLshIncremental(probe, root, append = false))
+    assert(before.nonEmpty, "test premise: the probe batch must hit the index")
+    val (nBefore, nAfter) = Dedup.compactLshIndex(spark, root, targetFiles = 4)
+    assert(nBefore >= 100 && nAfter <= 8, s"expected ≤4 files/subdir, got $nBefore -> $nAfter")
+    assert(files("bands") <= 4 && files("hashes") <= 4)
+    val after = pairSet(Dedup.minhashLshIncremental(probe, root, append = false))
+    assert(after == before, "compaction must not change any future dedup result")
+    // no stale swap dirs left behind
+    assert(!new java.io.File(s"$root/bands.trash").exists())
+    assert(!new java.io.File(s"$root/bands.compacting").exists())
+    // a second compaction is a no-op
+    val (n2b, n2a) = Dedup.compactLshIndex(spark, root, targetFiles = 4)
+    assert(n2b == n2a)
+    docs.unpersist()
+  }
 }
