@@ -180,15 +180,16 @@ object Multimodal {
     StructField("rms", ArrayType(FloatType))))       // one entry per channel
 
   /** Batch audio feature extraction — the audio analog of [[featurize]]:
-    * per-partition streaming rows, real decode for WAV/AIFF/AU, null row
-    * fields (except id) for payloads no reader accepts.
+    * per-partition streaming rows, real decode for WAV/AIFF/AU plus the
+    * audio track of AVI containers ([[decodeAudioAny]]), null row fields
+    * (except id) for payloads no reader accepts.
     */
   def featurizeAudio(media: DataFrame): DataFrame = {
     val rows: Dataset[Row] = media.select("media_id", "content")
       .repartition(col("media_id"))
     rows.mapPartitions { it =>
       it.map { r =>
-        decodeAudio(r.getAs[Array[Byte]]("content")) match {
+        decodeAudioAny(r.getAs[Array[Byte]]("content")) match {
           case Some(a) =>
             Row(r.getAs[Long]("media_id"), a.sampleRate, a.channels,
               a.frames, a.durationMs, a.rms.toSeq)
@@ -279,6 +280,93 @@ object Multimodal {
       else Some(AviVideo(width, height, if (usPerFrame > 0) usPerFrame else 40000L, out))
     } catch { case _: Throwable => None }
   }
+
+  /** The first audio track of a RIFF/AVI, re-muxed as a standalone
+    * RIFF/WAVE payload that [[decodeAudio]]'s stock-JDK reader accepts —
+    * the audio analog of [[demuxAvi]], and the second real pure-JVM
+    * codec path (PCM-in-AVI needs no codec at all, only container
+    * surgery). Walks LIST 'strl' stream headers in order ('strh' fccType
+    * 'auds' marks the audio stream; its 'strf' is the WAVEFORMATEX
+    * verbatim — copied into the output 'fmt ' chunk unchanged, so
+    * whether the JDK can decode the enclosed format is decided by the
+    * SAME registry as a real .wav of that format), then concatenates
+    * that stream's 'NNwb' movi chunks as the 'data' payload. None when
+    * the container is structurally invalid, has no audio stream, or the
+    * audio stream has no data chunks. Compressed AUDIO formats inside
+    * the AVI (MP3 etc.) re-mux fine but then fail at [[decodeAudio]] —
+    * the honest boundary, same as a compressed video codec.
+    */
+  def demuxAviAudio(content: Array[Byte]): Option[Array[Byte]] = {
+    if (content == null || content.length < 12) return None
+    def u32(o: Int): Long =
+      (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val fileEnd = math.min(content.length.toLong, 8L + u32(4)).toInt
+    var streamIdx = -1          // increments per LIST 'strl', hdrl order
+    var audioStream = -1        // first stream whose strh.fccType == 'auds'
+    var pendingAuds = false     // inside the audio stream's strl, before strf
+    var waveFmt: Array[Byte] = null
+    val data = IndexedSeq.newBuilder[(Int, Int)]
+    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val size = u32(o + 4)
+        val dataStart = o + 8
+        if (size < 0 || dataStart + size > end) return false
+        val dataEnd = (dataStart + size).toInt
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(dataStart)
+          if (listType == "strl") { streamIdx += 1; pendingAuds = false }
+          if (!walk(dataStart + 4, dataEnd,
+            inMovi || listType == "movi" || listType == "rec ")) return false
+        } else if (id == "strh" && size >= 4) {
+          if (fourcc(dataStart) == "auds" && audioStream < 0) {
+            audioStream = streamIdx; pendingAuds = true
+          }
+        } else if (id == "strf" && pendingAuds) {
+          if (size >= 16) waveFmt =
+            java.util.Arrays.copyOfRange(content, dataStart, dataEnd)
+          pendingAuds = false
+        } else if (inMovi && audioStream >= 0 && id == f"$audioStream%02dwb") {
+          data += ((dataStart, size.toInt))
+        }
+        o = dataEnd + (size.toInt & 1)
+      }
+      true
+    }
+    try {
+      if (!walk(12, fileEnd, inMovi = false)) return None
+      val chunks = data.result()
+      if (waveFmt == null || chunks.isEmpty) return None
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val dataLen = chunks.map(_._2.toLong).sum
+      val out = new java.io.ByteArrayOutputStream(
+        (44 + waveFmt.length + dataLen).toInt)
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(le32(4 + 8 + waveFmt.length + (waveFmt.length & 1) + 8 + dataLen))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII"))
+      out.write(le32(waveFmt.length.toLong))
+      out.write(waveFmt)
+      if ((waveFmt.length & 1) == 1) out.write(0)
+      out.write("data".getBytes("US-ASCII"))
+      out.write(le32(dataLen))
+      chunks.foreach { case (off, len) => out.write(content, off, len) }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  /** Audio decode that also reaches INTO containers: direct WAV/AIFF/AU
+    * first, then the AVI audio track via [[demuxAviAudio]].
+    */
+  def decodeAudioAny(content: Array[Byte]): Option[AudioMeta] =
+    decodeAudio(content).orElse(demuxAviAudio(content).flatMap(decodeAudio))
 
   /** Frame-sample output schema: one row per sampled frame. */
   val frameSchema: StructType = StructType(Seq(

@@ -450,4 +450,69 @@ class LlmSpec extends SparkSpec {
     assert(frames.find(_.getAs[Int]("frame_idx") == 0).get
       .getAs[Array[Byte]]("frame").sameElements(videoBytes.slice(0, 1024)))
   }
+
+  test("AVI audio-track demux: PCM re-muxed to WAV, decoded with true rate/channels/RMS") {
+    import spark.implicits._
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    // stream 0: video (so the audio chunks are '01wb', exercising stream
+    // numbering); stream 1: 8000 Hz mono 16-bit PCM
+    val rate = 8000
+    val strhVids = "vids".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strhAuds = "auds".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val waveFmt = le16(1) ++ le16(1) ++ le32(rate.toLong) ++
+      le32(rate * 2L) ++ le16(2) ++ le16(16) // PCM, mono, 16-bit
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(40000L), 0, avih, 0, 4)
+    // a constant-amplitude square wave: RMS is exactly the amplitude
+    val amp = 8192 // 0.25 of full scale
+    val samples = Array.tabulate(rate) { i => if (i % 2 == 0) amp else -amp }
+    val pcm = samples.flatMap(s => le16(s & 0xffff))
+    val (pcmA, pcmB) = pcm.splitAt(pcm.length / 2)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strhVids) ++ chunk("strf", new Array[Byte](40))) ++
+        list("strl", chunk("strh", strhAuds) ++ chunk("strf", waveFmt))) ++
+      list("movi", chunk("00dc", Array[Byte](1, 2, 3)) ++ // video noise to skip
+        chunk("01wb", pcmA) ++ chunk("00dc", Array[Byte](4, 5)) ++ chunk("01wb", pcmB))
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+
+    val wav = Multimodal.demuxAviAudio(avi)
+    assert(wav.isDefined, "structurally valid PCM AVI must re-mux")
+    val meta = Multimodal.decodeAudio(wav.get)
+    assert(meta.isDefined, "re-muxed WAV must decode via the stock JDK reader")
+    val a = meta.get
+    assert(a.sampleRate == rate.toFloat && a.channels == 1)
+    assert(a.frames == rate, s"one second of mono PCM: ${a.frames}")
+    assert(math.abs(a.rms(0) - amp / 32768.0f) < 1e-3, s"rms=${a.rms(0)}")
+    // direct decode of the AVI fails (no JDK AVI reader) but the
+    // container-aware path succeeds — and featurizeAudio uses it
+    assert(Multimodal.decodeAudio(avi).isEmpty)
+    assert(Multimodal.decodeAudioAny(avi).isDefined)
+    val media = Seq((42L, "video", avi), (43L, "audio", "garbage".getBytes))
+      .toDF("media_id", "modality", "content")
+    val rows = Multimodal.featurizeAudio(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows(42L).getAs[Long]("n_frames") == rate)
+    assert(rows(43L).isNullAt(rows(43L).fieldIndex("n_frames")))
+    // video demux on the same container still sees only the video chunks
+    assert(Multimodal.demuxAvi(avi).get.frames.size == 2)
+    // no audio stream -> None, not a garbage WAV
+    val noAudio = {
+      val b = "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", avih) ++
+          list("strl", chunk("strh", strhVids) ++ chunk("strf", new Array[Byte](40)))) ++
+        list("movi", chunk("00dc", Array[Byte](1, 2, 3)))
+      "RIFF".getBytes("US-ASCII") ++ le32(b.length.toLong) ++ b
+    }
+    assert(Multimodal.demuxAviAudio(noAudio).isEmpty)
+  }
 }
