@@ -93,7 +93,11 @@ object Bench {
     // self-consistent (a reader summing the map reproduces `value` exactly);
     // failed queries (-1 markers) are excluded from the sum
     val total = math.rint(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    // silence logging BEFORE the summary so no shutdown WARN can print
+    // after (or interleave with) the one JSON line a harness tail-parses
+    spark.sparkContext.setLogLevel("OFF")
     println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"metric":"total","value":$total,"unit":"sec"}""")
+    System.out.flush()
     spark.stop()
   }
 }
