@@ -56,22 +56,50 @@ object Bench {
     // SPARK_GRAFT_WARMUP=0 skips it: the timed pass then includes
     // first-run JIT/codegen/footer IO — the COLD number a user's first
     // session pays (recorded alongside steady-state in BASELINE.md).
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") try {
-      selected.values.foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+    // Per-query watchdog: a wedged query (e.g. a task hung after an OOM
+    // killed a shuffle read-ahead thread — observed at sf100) would
+    // otherwise stall the WHOLE suite and the round records no bench at
+    // all. The query's jobs run under a cancellation group; on timeout
+    // the group is cancelled (interrupts its tasks), the query records
+    // -1, and the suite moves on. Generous default: no legitimate query
+    // is within 10x of it at the driver's bench scale.
+    val queryTimeoutS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "1200").toLong
+    def runWithTimeout(name: String, body: => Long): Option[Long] = {
+      val group = s"bench-$name"
+      val result = new java.util.concurrent.CompletableFuture[Long]()
+      val t = new Thread(() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try result.complete(body): Unit
+        catch { case e: Throwable => result.completeExceptionally(e): Unit }
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      try Some(result.get(queryTimeoutS, java.util.concurrent.TimeUnit.SECONDS))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[timeout] $name exceeded ${queryTimeoutS}s; cancelling job group")
+          spark.sparkContext.cancelJobGroup(group)
+          None
+        case _: Throwable => None
+      }
+    }
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        runWithTimeout(s"warmup-$name", fn(spark, sfDir).count())
         graft.core.Checkpoints.freeAll()
       }
-    } catch { case _: Throwable => }
     val printCounts = sys.env.get("SPARK_GRAFT_PRINT_COUNTS").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try {
-        val c = fn(spark, sfDir).count()
-        // row counts to stderr on request: scale debugging (is a slow
-        // query producing 100x the rows, or doing 100x the work per row?)
-        if (printCounts) System.err.println(s"[rows] $name=$c")
-        true
-      } catch { case _: Throwable => false }
+      val ok = runWithTimeout(name, fn(spark, sfDir).count()) match {
+        case Some(c) =>
+          // row counts to stderr on request: scale debugging (is a slow
+          // query producing 100x the rows, or doing 100x the work per row?)
+          if (printCounts) System.err.println(s"[rows] $name=$c")
+          true
+        case None => false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // free each query's localCheckpoint blocks OUTSIDE its timing —
       // lingering checkpoint blocks across 124 executions grow
