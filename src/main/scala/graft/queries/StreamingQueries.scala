@@ -1,0 +1,83 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.Tables.dec
+
+/** Driver-gated Structured Streaming (SURVEY §2.9 T7): the streaming
+  * surface was spec-only until now; this runs a REAL streaming query —
+  * file source → event-time window + watermark → append-mode sink —
+  * as a bounded stream (`Trigger.AvailableNow`) over the events table
+  * and gates its emitted result against the DuckDB batch oracle.
+  *
+  * Append mode emits a window only once the watermark passes its end,
+  * so the batch oracle replays BOTH the aggregation and the watermark
+  * cutoff: windows with `end ≤ final watermark` where the final
+  * watermark is `floor(max event-time µs / 1000) ms − 10 min` — the
+  * exact value Structured Streaming computes (event-time stats are
+  * tracked in milliseconds; `AvailableNow` runs a trailing no-data
+  * micro-batch after the last file batch, so the final watermark and
+  * the emitted-window set are deterministic, not racy).
+  *
+  * Reference: dl-datalake's incremental resample loop (`pull.py`
+  * resume-from-watermark); re-expressed as true Structured Streaming
+  * rather than a batch pull loop. Scale shape: partial aggregation
+  * before the shuffle means state is one entry per (window, type) —
+  * 3 600 groups for 30 days of data at ANY corpus size — and the
+  * memory sink only ever holds those emitted groups, never events.
+  */
+object StreamingQueries {
+
+  val streamWindowAgg: Q = Q(
+    "q74_stream_window_agg",
+    """WITH bounds AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+      |agg AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+      |         event_type,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT bucket_us // 1000 AS bucket_ms, event_type, n, total_value
+      |FROM agg, bounds
+      |WHERE bucket_us + 3600000000 <= ((max_us // 1000) - 600000) * 1000
+      |ORDER BY bucket_ms, event_type""".stripMargin) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    // file-stream sources need an explicit schema; taking it from a batch
+    // read keeps the stream schema-adaptive exactly like Tables.events
+    val schema = s.read.parquet(path).schema
+    // a single-FILE table trips FileStreamSource's basePath injection
+    // ("Option 'basePath' must be a directory"); a glob path skips that
+    // injection and matches both a bare file and a parquet directory
+    val streamPath = s"$d/events.parque[t]"
+    val agg = Tables.normalizeTsNs(s.readStream.schema(schema).parquet(streamPath))
+      .withColumn("event_time", timestamp_micros(Tables.nsToUs("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("total_value"))
+    // fresh checkpoint per invocation: each run (warmup AND timed) must
+    // reprocess the whole bounded stream, not resume an earlier run's
+    val ckpt = Files.createTempDirectory("graft-q74-ckpt").toString
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("q74_stream_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table("q74_stream_sink").orderBy("bucket_ms", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(streamWindowAgg)
+}
