@@ -34,29 +34,64 @@ object Multimodal {
     try {
       javax.imageio.ImageIO.setUseCache(false) // no executor-disk scratch files
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
-        val feat = new Array[Float](8)
-        var band = 0
-        while (band < 8) {
-          val y0 = h.toLong * band / 8; val y1 = math.max(y0 + 1, h.toLong * (band + 1) / 8)
-          var sum = 0L; var n = 0L; var y = y0
-          while (y < y1) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y.toInt)
-              sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
-              n += 1; x += sx
-            }
-            y += sy
-          }
-          feat(band) = if (n == 0) 0.0f else (sum.toDouble / n / 255.0).toFloat
-          band += 1
+      if (img == null) None else Some(bandFeatures(img))
+    } catch { case _: Throwable => None }
+  }
+
+  /** (width, height, 8-band luminance feature) of one decoded image —
+    * shared by [[decodeImage]] and [[decodeImageFrames]].
+    */
+  private def bandFeatures(img: java.awt.image.BufferedImage): (Int, Int, Array[Float]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+    val feat = new Array[Float](8)
+    var band = 0
+    while (band < 8) {
+      val y0 = h.toLong * band / 8; val y1 = math.max(y0 + 1, h.toLong * (band + 1) / 8)
+      var sum = 0L; var n = 0L; var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y.toInt)
+          sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+          n += 1; x += sx
         }
-        Some((w, h, feat))
+        y += sy
       }
+      feat(band) = if (n == 0) 0.0f else (sum.toDouble / n / 255.0).toFloat
+      band += 1
+    }
+    (w, h, feat)
+  }
+
+  /** Multi-frame image decode (animated GIF on a stock JDK; any
+    * multi-image container a registered ImageIO reader claims): one
+    * (width, height, feature) per frame in container order, decoded
+    * LAZILY — the reader decodes frame i only when the iterator is
+    * pulled, so memory is one frame's raster regardless of frame
+    * count; the reader is disposed when the iterator is exhausted.
+    * None when no reader claims the payload. Frames are read
+    * standalone (no disposal compositing — full-frame GIFs, the
+    * training-data norm, are exact; partial-update GIFs would need a
+    * compositor here).
+    */
+  def decodeImageFrames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]] = {
+    if (content == null || content.length < 4) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      val frames = (0 until n).iterator.map { i =>
+        val f = bandFeatures(reader.read(i))
+        if (i == n - 1) { reader.dispose(); iis.close() }
+        f
+      }
+      Some(frames)
     } catch { case _: Throwable => None }
   }
 
@@ -374,6 +409,40 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame_ms", LongType),
     StructField("frame", BinaryType)))
+
+  /** Decoded-frame-feature schema: one row per sampled DECODED frame. */
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feat", ArrayType(FloatType))))
+
+  /** Decoded per-frame features for multi-frame image containers
+    * (animated GIF on a stock JDK), every `everyNth` frame kept: the
+    * frame-sampling analog of [[featurize]] — input rows fan out to
+    * frame rows via a LAZY iterator chain ([[decodeImageFrames]]
+    * decodes on pull), so a partition never materializes a whole
+    * video's frames; payloads no ImageIO reader claims are dropped.
+    */
+  def frameFeatures(media: DataFrame, everyNth: Int = 1): DataFrame = {
+    require(everyNth > 0)
+    media.select("media_id", "content")
+      .repartition(col("media_id")) // spread decode work evenly
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          decodeImageFrames(r.getAs[Array[Byte]]("content")) match {
+            case Some(frames) =>
+              frames.zipWithIndex.collect {
+                case ((w, h, feat), idx) if idx % everyNth == 0 =>
+                  Row(id, idx, w, h, feat.toSeq)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(frameFeatureSchema)).toDF()
+  }
 
   /** STUB resize — fallback for payloads [[resizeImage]] can't decode
     * (a real video/audio transcode would go here (???)): emits a

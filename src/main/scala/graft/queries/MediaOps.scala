@@ -65,8 +65,38 @@ object MediaOps {
     baos.toByteArray
   }
 
+  /** An animated GIF with `3 + k%4` full-size frames of `(8+k) × (4+k)`
+    * pixels, frame `i` a solid gray `10k + 5i` (max 255 at k=23). An
+    * explicit 256-gray `IndexColorModel` palette makes the GIF encode
+    * lossless, so every decoded frame recovers its gray exactly.
+    */
+  private[queries] def buildGif(k: Int): Array[Byte] = {
+    val w = 8 + k; val h = 4 + k; val nFrames = 3 + k % 4
+    val grays = Array.tabulate(256)(_.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(10 * k + 5 * i, 10 * k + 5 * i, 10 * k + 5 * i))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
   private val wavUdf = udf((k: Int) => buildWav(k))
   private val pngUdf = udf((k: Int) => buildPng(k))
+  private val gifUdf = udf((k: Int) => buildGif(k))
 
   /** Real audio decode under the oracle: WAV payloads built per nation
     * key, decoded by [[Multimodal.featurizeAudio]] (stock-JDK
@@ -121,5 +151,37 @@ object MediaOps {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(audioFeatures, imageFeatures)
+  /** Real MULTI-FRAME decode under the oracle: animated-GIF payloads
+    * per nation key, frame-sampled (every 2nd) and decoded by
+    * [[Multimodal.frameFeatures]] (stock-JDK ImageIO multi-image
+    * read); the oracle unrolls the frame fan-out with `range()` and
+    * predicts each frame's exact gray. A mis-ordered frame index, a
+    * dropped frame, or palette quantization drift hash-mismatches.
+    */
+  val videoFrames: Q = Q(
+    "q75_video_frames",
+    """WITH f AS (
+      |  SELECT n_nationkey AS k,
+      |         UNNEST(range(0, 3 + n_nationkey % 4)) AS i
+      |  FROM nation)
+      |SELECT CAST(k AS BIGINT) AS media_id,
+      |       CAST(i AS INT) AS frame_idx,
+      |       CAST(8 + k AS INT) AS width,
+      |       CAST(4 + k AS INT) AS height,
+      |       CAST(10 * k + 5 * i AS BIGINT) AS gray
+      |FROM f WHERE i % 2 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    val media = t(s, d, "nation").select(
+      col("n_nationkey").cast("long").as("media_id"),
+      gifUdf(col("n_nationkey").cast("int")).as("content"))
+    Multimodal.frameFeatures(media, everyNth = 2).select(
+      col("media_id"),
+      col("frame_idx"),
+      col("width"),
+      col("height"),
+      round(element_at(col("feat"), 1) * 255).cast("long").as("gray"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(audioFeatures, imageFeatures, videoFrames)
 }
