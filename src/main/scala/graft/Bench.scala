@@ -16,6 +16,24 @@ object Bench {
       if (biggest > 32L * 1024 * 1024) "8388608" else "134217728"
     })
 
+  /** Shuffle partition count for a local run: cpus at small SFs, scaled
+    * to ~64 MB of INPUT per partition once the dataset outgrows
+    * cpus×64 MB. Pinning to cpus at every scale is the sf100 OOM shape:
+    * 22 GB through 32 reduce partitions is ~700 MB/partition of shuffle
+    * state per thread (observed: q35 executor-thread OOM wedge). AQE
+    * coalesces DOWN from a large initial count but never splits an
+    * oversized non-skew partition, so the INITIAL number must scale.
+    * On a real cluster this is `spark.sql.shuffle.partitions` sized to
+    * cluster cores / AQE advisory size — same principle, harness-local
+    * computation. Override with SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    */
+  def autoShufflePartitions(sfDir: String, cpus: Int): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      val totalBytes = Option(new java.io.File(sfDir).listFiles())
+        .map(_.map(_.length).sum).getOrElse(0L)
+      math.max(cpus.toLong, totalBytes / (64L * 1024 * 1024)).toString
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,7 +45,7 @@ object Bench {
                    else SparkEntry.queries.filter { case (n, _) => only(n) }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", autoShufflePartitions(sfDir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

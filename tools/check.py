@@ -24,6 +24,10 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+try:
+    verify_errors = json.load(open(f"{OUT}/verify_errors.json"))
+except Exception:
+    verify_errors = {}
 
 def norm(v):
     if isinstance(v, float):
@@ -42,7 +46,7 @@ names = sorted(oracle) if not ONLY else sorted(n for n in oracle if n in ONLY)
 for name in names:
     resdir = f"{OUT}/{name}"
     if not glob.glob(f"{resdir}/*.parquet"):
-        fails.append((name, "spark result missing"))
+        fails.append((name, "spark err: " + verify_errors.get(name, "result missing (no recorded error)")))
         continue
     try:
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{resdir}/*.parquet')")
