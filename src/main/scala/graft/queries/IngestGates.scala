@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Driver-gated queries for the INGEST loop and SCHEMA-EVOLUTION read
+  * surface — reference behaviors that until now were spec-only:
+  *
+  *  - q76: the T1/T2 incremental download loop (watermark resume +
+  *    chunked flush) of `dl-datalake/src/dl_datalake/ingest/
+  *    exchange_connector.py:55-307`, run end-to-end over a CSV-replay
+  *    venue, gate-checked by predicting the ingested lake's content
+  *    arithmetically from the events table.
+  *  - q77: schema evolution across files of one series — the
+  *    reference's diagonal concat at read time
+  *    (`dl-datalake/tests/integration/test_07_maintenance.py:45-58`;
+  *    only `ts` is guaranteed, `storage/writer.py:162-164`) — two
+  *    batches with different schemas land in different month files and
+  *    the mergeSchema read must produce NULLs for the missing column.
+  *
+  * Both fixtures are built ONCE per (session, data dir) via
+  * [[graft.core.SessionTempRoots]], so timed bench passes measure the
+  * steady-state read path, and both are CAPPED (key < 20000): a venue
+  * replay fixture is API-page-sized by design — the connector loop is
+  * inherently driver-side paging — so it must not grow with the data
+  * decade (same principle as q70/q71's metadata-sized fixtures).
+  */
+object IngestGates {
+
+  /** 2024-01-01 / 2024-02-01 UTC, epoch-ms. */
+  private val T0 = 1704067200000L
+  private val TFEB = 1706745600000L
+  private val CAP = 20000L
+
+  // ---------------------------------------------------------------- q76
+
+  private def tsOf(i: Long): Long = T0 + i * 60000L
+
+  /** Build the q76 lake: candle CSV fixtures derived arithmetically from
+    * event ids (1m grid from T0; OHLCV values are small exact integers so
+    * double sums are order-independent), ingested in TWO downloads —
+    * first a 60% prefix with a page/flush size that forces chunking
+    * (T2), then the full feed, which must resume from the catalog
+    * watermark and fetch ONLY the tail (T1). Both premises are
+    * `require`d at build time; the declared query then reads the lake
+    * back through the pruned range-scan path.
+    */
+  private def resumeLakeRoot(s: SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_ingest_") { root =>
+      val ids = Tables.events(s, d).select(col("event_id"))
+        .filter(col("event_id") < CAP)
+        .distinct().collect().map(_.getLong(0)).sorted
+      require(ids.nonEmpty, "q76 premise: events table must be non-empty")
+      def line(i: Long): String =
+        s"${tsOf(i)},${i % 997},${i % 997 + 2},${i % 997 - 1},${i * 7 % 997},${i % 101}"
+      def writeFeed(sub: String, rows: Array[Long]): String = {
+        val dir = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root, sub)).toString
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "EVT.csv"),
+          rows.map(line).mkString("\n").getBytes("UTF-8"))
+        dir
+      }
+      val nA = math.max(1, ids.length * 3 / 5)
+      val csvA = writeFeed("feedA", ids.take(nA))
+      val csvB = writeFeed("feedB", ids)
+      val lake = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "lake")).toString
+      val cat = new graft.catalog.ManifestCatalog(s, lake)
+      val page = math.max(50, nA / 5)
+      val loader = new graft.ingest.IncrementalLoader(s,
+        new graft.storage.LakeWriter(s, lake), cat,
+        pageSize = page, flushRows = 2 * page, sleeper = _ => ())
+      val repA = loader.download(new graft.ingest.CsvReplayConnector(csvA, "evtfeed"),
+        "spot", "EVT", "1m", endMs = tsOf(ids(nA - 1)))
+      require(repA.flushes >= 2,
+        s"q76 premise: first ingest must flush in chunks (T2), got ${repA.flushes}")
+      val repB = loader.download(new graft.ingest.CsvReplayConnector(csvB, "evtfeed"),
+        "spot", "EVT", "1m", endMs = tsOf(ids.last))
+      require(repB.rows == ids.length - nA,
+        s"q76 premise: resumed ingest must fetch only the tail (T1): " +
+          s"expected ${ids.length - nA} rows, got ${repB.rows}")
+    }
+
+  /** Incremental ingest + watermark resume, driver-gated (T1/T2). The
+    * oracle predicts the whole ingested series from `events` — a row
+    * lost at a flush boundary, re-fetched across the resume point (and
+    * thus duplicated if keep-last also broke), or dropped by the
+    * merge-write changes `n`/sums; a watermark regression changes
+    * nothing here but is `require`d at fixture build.
+    */
+  val incrementalResume: Q = Q(
+    "q76_incremental_resume",
+    """WITH c AS (
+      |  SELECT 1704067200000 + event_id * 60000 AS ts,
+      |         event_id % 997 AS o,
+      |         (event_id * 7) % 997 AS cl,
+      |         event_id % 101 AS v
+      |  FROM events WHERE event_id < 20000)
+      |SELECT CAST((ts - 1704067200000) // 86400000 AS BIGINT) AS day,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(o) AS BIGINT) AS sum_open,
+      |       CAST(SUM(cl) AS BIGINT) AS sum_close,
+      |       CAST(SUM(v) AS BIGINT) AS sum_vol,
+      |       CAST(MAX(ts) AS BIGINT) AS max_ts
+      |FROM c GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val lake = s"${resumeLakeRoot(s, d)}/lake"
+    new graft.storage.LakeReader(s, lake)
+      .readRange("evtfeed", "EVT", "raw", 0L, Long.MaxValue,
+        market = Some("spot"), period = Some("1m"))
+      .withColumn("day", expr(s"(ts - ${T0}L) div 86400000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("open")).cast("long").as("sum_open"),
+        sum(col("close")).cast("long").as("sum_close"),
+        sum(col("volume")).cast("long").as("sum_vol"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------- q77
+
+  /** Build the q77 lake: one tick series, TWO schemas. Even order keys
+    * land in January with (ts, k, price); odd keys land in February with
+    * an extra qty column. Each month is written by its own merge-write,
+    * so the two month FILES genuinely carry different schemas on disk —
+    * the read below must diagonal-concat them.
+    */
+  private def evolutionLakeRoot(s: SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_schemaevo_") { root =>
+      val key = graft.storage.SeriesKey("gate", "spot", "EVO", "ticks", "tick")
+      val w = new graft.storage.LakeWriter(s, root)
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        .filter(col("k") < CAP).distinct()
+      val jan = base.filter(col("k") % 2 === 0).select(
+        (lit(T0) + col("k") * 1000L).as("ts"), col("k"),
+        (col("k") % 500).cast("double").as("price"))
+      val feb = base.filter(col("k") % 2 === 1).select(
+        (lit(TFEB) + col("k") * 1000L).as("ts"), col("k"),
+        (col("k") % 500).cast("double").as("price"),
+        (col("k") % 37).cast("double").as("qty"))
+      w.writeTicks(jan, key)
+      w.writeTicks(feb, key)
+    }
+
+  /** Schema evolution / diagonal concat, driver-gated (S11/U2/S5). The
+    * mergeSchema read of a series whose month files disagree on schema
+    * must surface the missing column as NULL exactly where it was never
+    * written: `n_qty` counts non-NULL qty per group, so a read that
+    * fills defaults, drops the column, or leaks qty into January
+    * hash-mismatches the oracle's CASE replay.
+    */
+  val schemaEvolution: Q = Q(
+    "q77_schema_evolution",
+    """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 20000),
+      |t AS (SELECT k,
+      |        CASE WHEN k % 2 = 0 THEN 1 ELSE 2 END AS mon,
+      |        k % 500 AS price,
+      |        CASE WHEN k % 2 = 1 THEN k % 37 END AS qty
+      |      FROM o)
+      |SELECT mon, CAST(k % 7 AS BIGINT) AS bucket,
+      |       COUNT(*) AS n, COUNT(qty) AS n_qty,
+      |       CAST(SUM(price) AS BIGINT) AS sum_price,
+      |       CAST(COALESCE(SUM(qty), 0) AS BIGINT) AS sum_qty
+      |FROM t GROUP BY mon, bucket ORDER BY mon, bucket""".stripMargin) { (s, d) =>
+    new graft.storage.LakeReader(s, evolutionLakeRoot(s, d))
+      .readRange("gate", "EVO", "ticks", 0L, Long.MaxValue,
+        market = Some("spot"), period = Some("tick"), mergeSchema = true)
+      .withColumn("mon", when(col("ts") >= TFEB, 2).otherwise(1))
+      .groupBy(col("mon"), (col("k") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("qty")).as("n_qty"),
+        sum(col("price")).cast("long").as("sum_price"),
+        coalesce(sum(col("qty")), lit(0)).cast("long").as("sum_qty"))
+      .orderBy("mon", "bucket")
+  }
+
+  val all: Seq[Q] = Seq(incrementalResume, schemaEvolution)
+}
