@@ -26,6 +26,19 @@ object ScaleJoins {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** [[writeBucketed]] variant that pins the table DATA to an explicit
+    * path (external table): callers that bucket into a reaped temp root
+    * (q78's session fixture) don't leave files in the warehouse dir.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, key: String,
+                      buckets: Int, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Salted equi-join for skewed keys: the big (skewed) side gets a
     * random salt in [0, parts); the small side is replicated `parts`
     * times with every salt value; the join key becomes (key, salt) so
