@@ -270,7 +270,16 @@ object Relational {
       .orderBy("nationkey")
   }
 
-  /** EXCEPT set op (U3): parts never shipped by any supplier from nation 0. */
+  /** EXCEPT set op (U3): parts never shipped by any supplier from nation 0.
+    *
+    * Scale shape: the oracle SQL's part⋈lineitem join is REDUNDANT for the
+    * EXCEPT (every l_partkey is a part key; keys outside `part` are no-ops
+    * to subtract), so the Spark plan drops it — lineitem map-side
+    * broadcast-joins the filtered supplier, partial-distincts the surviving
+    * part keys, and only then shuffles. That removes the full
+    * lineitem-by-partkey exchange (600 M rows at sf100) the literal form
+    * pays; the EXCEPT itself is one anti-join on ~|distinct shipped keys|.
+    */
   val exceptBrands: Q = Q(
     "q13_except_parts",
     """SELECT p_partkey FROM part
@@ -280,11 +289,11 @@ object Relational {
       |  JOIN supplier ON l_suppkey = s_suppkey
       |WHERE s_nationkey = 0
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
-    val shipped = Tables.part(s, d)
-      .join(Tables.lineitem(s, d), col("l_partkey") === col("p_partkey"))
+    val shipped = Tables.lineitem(s, d)
       .join(broadcast(Tables.supplier(s, d).filter(col("s_nationkey") === 0)),
         col("l_suppkey") === col("s_suppkey"))
-      .select("p_partkey")
+      .select(col("l_partkey").as("p_partkey"))
+      .distinct()
     Tables.part(s, d).select("p_partkey").except(shipped).orderBy("p_partkey")
   }
 
