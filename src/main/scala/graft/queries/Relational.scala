@@ -85,7 +85,12 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      // customer is UNHINTED: it scales with SF (15 M rows at sf100 —
+      // force-broadcasting it builds a driver-side hash of the whole
+      // table); AQE broadcasts it at small SF from runtime stats and
+      // correctly falls back to SMJ at scale. nation/region are
+      // fixed-cardinality (25/5 rows) and safe to pin.
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -107,7 +112,8 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      // unhinted for the same reason as q03: customer scales with SF
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
