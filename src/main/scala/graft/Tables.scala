@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, Time
   * `events.ts` is schema-on-read (the reference guarantees only that a `ts`
   * column exists — dl-datalake `storage/writer.py:162-164`; physical encoding
   * drifts with the writer): parquet TIMESTAMP(NANOS) arrives as a LONG of
-  * epoch-nanoseconds via `spark.sql.legacy.parquet.nanosAsLong`, while
+  * epoch-nanoseconds via `spark.sql.legacy.parquet.nanosAsLong` (set once
+  * at session build — [[graft.core.Sessions.configure]]), while
   * TIMESTAMP(MICROS)/TIMESTAMP_NTZ (pandas-written) arrives as a timestamp
   * type. [[events]] normalizes both to the same canonical LONG epoch-ns
   * column so downstream µs arithmetic ([[nsToUs]]) is encoding-independent.
@@ -35,10 +36,8 @@ object Tables {
     * 1000 exactly (epoch-µs ≈ 1.7e15, ×1000 ≪ Long.MaxValue); session TZ is
     * pinned UTC so NTZ wall-clock == UTC instant, matching the oracle.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTsNs(t(spark, dir, "events"))
-  }
 
   /** Schema-adaptive `ts` → LONG epoch-ns normalization (SURVEY §2.8 F1). */
   def normalizeTsNs(df: DataFrame): DataFrame = df.schema("ts").dataType match {

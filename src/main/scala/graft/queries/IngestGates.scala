@@ -67,13 +67,18 @@ object IngestGates {
       val lake = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(root, "lake")).toString
       val cat = new graft.catalog.ManifestCatalog(s, lake)
-      val page = math.max(50, nA / 5)
+      // flush sizing DERIVED from nA so the first ingest is guaranteed ≥2
+      // flushes for any feed of ≥2 rows (flush ≤ nA/3 < nA/2, plus the
+      // final partial flush) — a fixed floor like max(50, nA/5)*2 exceeds
+      // nA on small fixtures and turns the T2 premise into a hard failure
+      val flush = math.max(1, nA / 3)
+      val page = math.max(1, flush / 2)
       val loader = new graft.ingest.IncrementalLoader(s,
         new graft.storage.LakeWriter(s, lake), cat,
-        pageSize = page, flushRows = 2 * page, sleeper = _ => ())
+        pageSize = page, flushRows = flush, sleeper = _ => ())
       val repA = loader.download(new graft.ingest.CsvReplayConnector(csvA, "evtfeed"),
         "spot", "EVT", "1m", endMs = tsOf(ids(nA - 1)))
-      require(repA.flushes >= 2,
+      if (nA >= 2) require(repA.flushes >= 2,
         s"q76 premise: first ingest must flush in chunks (T2), got ${repA.flushes}")
       val repB = loader.download(new graft.ingest.CsvReplayConnector(csvB, "evtfeed"),
         "spot", "EVT", "1m", endMs = tsOf(ids.last))

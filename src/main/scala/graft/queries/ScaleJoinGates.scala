@@ -29,9 +29,11 @@ object ScaleJoinGates {
   private val CAP = 5000000L
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    // hashCode → unsigned hex: table identity must track the DATA DIR
-    // (sf0.001 spec runs and sf0.01 verify runs share one JVM session)
-    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    // table identity must track the DATA DIR (sf0.001 spec runs and
+    // sf0.01 verify runs share one JVM session) — derived from the full
+    // sanitized path, not a hashCode, so two dirs can never alias the
+    // same table name and silently repoint each other's buckets
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     val fact = s"graft_q78_fact_$suffix"
     val dim = s"graft_q78_dim_$suffix"
     graft.core.SessionTempRoots.of(s, d, "graft_bktjoin_") { root =>
@@ -72,10 +74,16 @@ object ScaleJoinGates {
     * lineitem) is spread over 32 (key, salt) reducers; the result must
     * equal the plain join bit-for-bit — any row duplicated by the
     * salt replication or lost by the salt match breaks n/sums.
+    *
+    * Hot key is 1, not 0: `small` is s_suppkey % 1000 and suppkeys start
+    * at 1, so k=1 exists at EVERY scale factor (k=0 first appears at
+    * s_suppkey=1000, i.e. sf0.1) — the gate must actually route the 90%
+    * hot side through a matching build row to discriminate hot-key
+    * replication/loss at the driver's sf0.01.
     */
   val saltedSkewJoin: Q = Q(
     "q79_salted_skew_join",
-    """WITH big AS (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+    """WITH big AS (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 1
       |                         ELSE l_orderkey % 1000 END AS k,
       |                    CAST(l_quantity AS BIGINT) AS q
       |             FROM lineitem),
@@ -87,7 +95,7 @@ object ScaleJoinGates {
       |FROM big JOIN small ON big.k = small.k
       |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
     val big = Tables.lineitem(s, d).select(
-      when(col("l_orderkey") % 100 < 90, 0L)
+      when(col("l_orderkey") % 100 < 90, 1L)
         .otherwise(col("l_orderkey") % 1000).as("k"),
       col("l_quantity").cast("long").as("q"))
     val small = Tables.supplier(s, d)

@@ -45,7 +45,7 @@ object StreamingQueries {
       |FROM agg, bounds
       |WHERE bucket_us + 3600000000 <= ((max_us // 1000) - 600000) * 1000
       |ORDER BY bucket_ms, event_type""".stripMargin) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is session-build config (core.Sessions) — no per-query set
     val path = s"$d/events.parquet"
     // file-stream sources need an explicit schema; taking it from a batch
     // read keeps the stream schema-adaptive exactly like Tables.events

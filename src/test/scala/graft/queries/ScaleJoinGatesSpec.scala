@@ -27,19 +27,20 @@ class ScaleJoinGatesSpec extends SparkSpec {
     // The scale property: with broadcast off, the join of the two
     // bucketed tables plans with NO exchange below the join — the agg
     // above it is the only shuffle in the query.
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = ScaleJoinGates.bucketedJoin.run(spark, sf)
         .queryExecution.executedPlan.toString
       val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(shuffles <= 1, s"expected only the post-join agg to shuffle:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
 
   test("q79: salted skew join equals the plain join replay") {
     val got = ScaleJoinGates.saltedSkewJoin.run(spark, sf).collect().map(_.toSeq).toSeq
     val big = Tables.lineitem(spark, sf).select(
-      when(col("l_orderkey") % 100 < 90, 0L)
+      when(col("l_orderkey") % 100 < 90, 1L)
         .otherwise(col("l_orderkey") % 1000).as("k"),
       col("l_quantity").cast("long").as("q"))
     val small = Tables.supplier(spark, sf)
@@ -53,5 +54,17 @@ class ScaleJoinGatesSpec extends SparkSpec {
       .orderBy("bucket")
       .collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == expected)
+
+    // The gate must actually exercise the hot side: the hot key is 1
+    // (exists in `small` at every SF — suppkeys start at 1), so ≥90% of
+    // lineitem flows through bucket 1. If the hot key ever stops
+    // matching, this catches it before the oracle silently passes on an
+    // empty hot side.
+    val total = Tables.lineitem(spark, sf).count()
+    val hotN = got.find(_.head == 1L).map(_(1).asInstanceOf[Long]).getOrElse(0L)
+    // ~90% by construction; orderkeys are sparse so the modulus isn't
+    // exactly uniform at tiny SF — 80% still proves the hot side matches
+    assert(hotN >= total * 8 / 10,
+      s"hot bucket carries $hotN of $total rows — skew gate not discriminating")
   }
 }
