@@ -257,21 +257,62 @@ object SimilaritySearch {
     * 8 fixed planes means 256 buckets at ANY corpus size — fine at 10^5
     * vectors, quadratic death at 10^9; this scales bucket count with
     * the corpus so per-bucket work stays constant as data grows.
+    *
+    * Computed in INTEGER arithmetic — the smallest p with
+    * 2^p ≥ ceil(n / targetBucket) — not floating-point log2, so the
+    * DuckDB oracle ([[duckAdaptivePlanesSql]]) replays the identical
+    * value at every n with no ceil(log) edge-case divergence.
     */
   def adaptivePlanes(corpusSize: Long, targetBucket: Long = 1024,
                      minPlanes: Int = 8): Int = {
-    val want = math.ceil(
-      math.log(math.max(1L, corpusSize).toDouble / targetBucket) / math.log(2)).toInt
+    val n = math.max(1L, corpusSize)
+    // ceil(n / target) without the n+target-1 overflow at Long.MaxValue
+    val c = n / targetBucket + (if (n % targetBucket != 0) 1L else 0L)
+    val want = 64 - java.lang.Long.numberOfLeadingZeros(c - 1) // 0 when c == 1
     math.min(62, math.max(minPlanes, want))
+  }
+
+  /** DuckDB scalar expression for [[adaptivePlanes]] over `COUNT(*) FROM
+    * table` — same integer formula: smallest p with
+    * (targetBucket << p) ≥ n, floored/capped identically. The shift
+    * range stops at 52 because targetBucket·2^52 ≥ 2^62 already exceeds
+    * any representable corpus count before the 62 cap can bind.
+    */
+  def duckAdaptivePlanesSql(table: String, targetBucket: Long = 1024,
+                            minPlanes: Int = 8): String =
+    s"""LEAST(62, GREATEST($minPlanes,
+       |  (SELECT MIN(pl) FROM range(0, 53) r(pl)
+       |   WHERE (CAST($targetBucket AS BIGINT) << pl) >= (SELECT COUNT(*) FROM $table))))""".stripMargin
+
+  /** DuckDB SQL for the ADAPTIVE-planes bucket id: the same md5-derived
+    * hyperplanes as [[duckBucketSql]], but each plane's bit is guarded
+    * by `h < planes` (a column from a one-row CTE computed via
+    * [[duckAdaptivePlanesSql]]), so ONE static SQL text replays the
+    * bucketing at whatever plane count the corpus size yields —
+    * the oracle needs no per-SF regeneration. `maxPlanes` bounds the
+    * generated text (24 ⇒ exact up to targetBucket·2^24 vectors; the
+    * gate query documents the bound).
+    */
+  def duckBucketSqlAdaptive(emb: String = "embedding", planesCol: String = "planes",
+                            maxPlanes: Int = 24, dim: Int = 64): String = {
+    def planeDot(h: Int): String =
+      (0 until dim).map(j => s"CAST($emb[${j + 1}] AS DOUBLE) * (${weight(h, j)})")
+        .mkString("(", " + ", ")")
+    (0 until maxPlanes).map(h =>
+      s"(CASE WHEN $h < $planesCol AND ${planeDot(h)} > 0 THEN ${1L << h} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
   /** [[cosinePairsLsh]] with planes derived from the corpus size (one
     * count job — at 100 TB that's a metadata-only parquet row-count).
-    * The declared q43 keeps static planes=8 because its DuckDB oracle
-    * replays a fixed bucketing; production callers should prefer this
-    * entry point.
+    * This is the production all-pairs entry point: bucket count grows
+    * with the corpus so per-bucket work stays constant (fixed planes=8
+    * is 256 buckets forever — quadratic death at 10^9 vectors). Gated
+    * by q80 (count-derived oracle); q43 gates the fixed-planes form.
     */
   def cosinePairsLshAuto(corpus: DataFrame, threshold: Double, dim: Int = 64,
-                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    cosinePairsLsh(corpus, threshold, adaptivePlanes(corpus.count()), dim, idCol, embCol)
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         targetBucket: Long = 1024, minPlanes: Int = 8): DataFrame =
+    cosinePairsLsh(corpus, threshold,
+      adaptivePlanes(corpus.count(), targetBucket, minPlanes), dim, idCol, embCol)
 }

@@ -132,6 +132,45 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-duplicate pairs via the ADAPTIVE-planes production
+    * path (q80): same operator as q43 but planes come from
+    * `adaptivePlanes(count)` — the form that survives corpus growth
+    * (bucket count scales with N; fixed planes=8 is 256 buckets
+    * forever). The oracle derives the plane count from `COUNT(*)` with
+    * the same integer formula and guards each plane's bit by
+    * `h < planes`, so ONE static SQL replays the exact bucketing at any
+    * SF — at the driver's sf0.01 (500 vectors) this runs 4 planes, at
+    * sf0.1 (2 000) 5, at sf1 (20 000) 9: the gate exercises plane
+    * GROWTH, not a fixed bucketing. (targetBucket, minPlanes) are
+    * pinned to (64, 4) here so growth is visible at gate scale — the
+    * production defaults (1024, 8) would floor every gate SF to 8
+    * planes; the operator under test is identical either way.
+    * maxPlanes=24 in the oracle text bounds exactness at 64·2^24 ≈ 10^9
+    * vectors — far beyond any oracle-replayable fixture.
+    */
+  val embeddingNearDupAuto: Q = Q(
+    "q80_embedding_near_dup_auto",
+    s"""WITH p AS (SELECT ${SimilaritySearch.duckAdaptivePlanesSql("embeddings", targetBucket = 64, minPlanes = 4)} AS planes),
+      |b AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    ${SimilaritySearch.duckBucketSqlAdaptive()} AS bucket,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      |  FROM embeddings, p),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    list_aggregate(list_transform(list_zip(a.embedding, c.embedding),
+      |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+      |    / (a.nrm * c.nrm) AS sim
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      |SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs
+      |WHERE sim >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    SimilaritySearch.cosinePairsLshAuto(Tables.embeddings(s, d), 0.2,
+        targetBucket = 64, minPlanes = 4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Hyperplane-LSH bucket histogram: deterministic md5-derived integer
     * hyperplanes ⇒ identical sign bits in both engines. This verifies
     * the ANN index build; the probe path is covered by recall specs.
@@ -250,5 +289,6 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     minhashLsh, simhashFp, docFingerprint, multimodalMeta,
-    embeddingNearDup, lshBuckets, nearDupClusters, incrementalMinhash)
+    embeddingNearDup, embeddingNearDupAuto, lshBuckets, nearDupClusters,
+    incrementalMinhash)
 }

@@ -221,6 +221,40 @@ class LlmSpec extends SparkSpec {
     assert(SimilaritySearch.adaptivePlanes(1000000000L) == 20)
     assert(SimilaritySearch.adaptivePlanes(Long.MaxValue) == 53)
     assert(SimilaritySearch.adaptivePlanes(0L) == 8)
+    // integer formula == ceil(log2(n/target)) floored/capped, across the
+    // exact power-of-two boundaries where FP log would be edge-casey
+    for (p <- 1 to 52; n <- Seq((1024L << p) - 1, 1024L << p, (1024L << p) + 1)) {
+      val c = (n + 1023) / 1024
+      val want = math.min(62, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(c - 1)))
+      assert(SimilaritySearch.adaptivePlanes(n) == want, s"n=$n")
+      assert((1L << SimilaritySearch.adaptivePlanes(n)) * 1024L >= n
+        || SimilaritySearch.adaptivePlanes(n) >= 53, s"2^p*1024 must cover n=$n")
+    }
+    // q80 gate-discrimination pins (targetBucket=64, minPlanes=4): the
+    // gated plane count CHANGES at every tested decade — 4 at the
+    // driver's sf0.01 (500 vectors), 5 at sf0.1 (2 000), 9 at sf1
+    // (20 000), 12 at sf10, 15 at sf100
+    assert(SimilaritySearch.adaptivePlanes(500L, 64, 4) == 4)
+    assert(SimilaritySearch.adaptivePlanes(2000L, 64, 4) == 5)
+    assert(SimilaritySearch.adaptivePlanes(20000L, 64, 4) == 9)
+    assert(SimilaritySearch.adaptivePlanes(200000L, 64, 4) == 12)
+    assert(SimilaritySearch.adaptivePlanes(2000000L, 64, 4) == 15)
+  }
+
+  test("q80 auto-planes gate equals the fixed-planes form when counts coincide") {
+    // at sf0.001 (500 vectors, targetBucket=64, minPlanes=4)
+    // adaptivePlanes yields 4 — so auto must equal cosinePairsLsh at
+    // planes=4 exactly, and (4-plane buckets are coarser unions of
+    // 8-plane buckets) must be a SUPERSET of the q43 fixed-8 pairs
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val auto = SimilaritySearch.cosinePairsLshAuto(emb, 0.2, targetBucket = 64, minPlanes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed4 = SimilaritySearch.cosinePairsLsh(emb, 0.2, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed8 = SimilaritySearch.cosinePairsLsh(emb, 0.2, planes = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed4 && auto.nonEmpty)
+    assert(fixed8.subsetOf(auto), "8-plane pairs must survive the 4-plane bucketing")
   }
 
   test("LSH near-dup pairs are a subset of exact pairs (no false sims)") {
