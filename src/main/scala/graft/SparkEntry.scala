@@ -15,7 +15,8 @@ object SparkEntry {
   private val allQueries: Seq[Q] =
     Relational.all ++ EventsOps.all ++ TextOps.all ++ Embeddings.all ++
       LlmOps.all ++ Extended.all ++ CurationOps.all ++ CorpusStatsOps.all ++
-      MediaOps.all ++ StreamingQueries.all ++ IngestGates.all ++ ScaleJoinGates.all
+      MediaOps.all ++ StreamingQueries.all ++ IngestGates.all ++ ScaleJoinGates.all ++
+      MultiWriterGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -71,6 +71,52 @@ private[storage] object LakeIO {
       case None => spark.conf.unset(InferenceConf)
     }
   }
+
+  /** The Hive-style directory of one series under `root` (sanitized key). */
+  def seriesDir(root: String, k: SeriesKey): String =
+    s"$root/exchange=${k.exchange}/market=${k.market}/symbol=${k.symbol}" +
+      s"/type=${k.`type`}/period=${k.period}"
+
+  /** Open ONE series, scoped to its own directory tree: `basePath`
+    * keeps the partition columns, but listing, schema inference
+    * (mergeSchema footer reads) and scans never leave the series dir.
+    *
+    * Load-bearing twice over:
+    *  - scale: a merge-write that opened the ROOT would run mergeSchema
+    *    footer reads over the ENTIRE lake on every flush — O(lake
+    *    files) per ingest chunk instead of O(series);
+    *  - concurrency: a sibling writer process rewriting ANOTHER series'
+    *    directories mid-listing/footer-read would throw
+    *    FileNotFoundException into this writer's merge read (observed
+    *    as a flaky q81 child failure). Disjoint series now never read
+    *    each other's files, so concurrent per-series writers only
+    *    contend on the catalog's create-exclusive commit, by design.
+    *
+    * Returns None if the series has no directory yet (first write).
+    */
+  def readSeriesScoped(spark: SparkSession, root: String, k: SeriesKey,
+                       mergeSchema: Boolean = true): Option[DataFrame] = {
+    val dir = seriesDir(root, k)
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) None
+    else {
+      val prev = spark.conf.getOption(InferenceConf)
+      spark.conf.set(InferenceConf, "false")
+      try {
+        val df = spark.read
+          .option("mergeSchema", mergeSchema.toString)
+          .option("basePath", root)
+          .parquet(dir)
+        df.schema // force partition discovery NOW, while inference is off
+        Some(df.withColumn("year", col("year").cast("int"))
+          .withColumn("month", col("month").cast("int")))
+      } finally prev match {
+        case Some(v) => spark.conf.set(InferenceConf, v)
+        case None => spark.conf.unset(InferenceConf)
+      }
+    }
+  }
 }
 
 final class LakeWriter(spark: SparkSession, root: String) {
@@ -165,14 +211,11 @@ final class LakeWriter(spark: SparkSession, root: String) {
     writeOhlc(df, key.copy(`type` = "ticks"))
 
   private def readSeries(k: SeriesKey): Option[DataFrame] =
-    try {
-      val df = LakeIO.read(spark, root)
-        .filter(col("exchange") === k.exchange && col("market") === k.market &&
-          col("symbol") === k.symbol && col("type") === k.`type` &&
-          col("period") === k.period)
-      df.schema // force analysis
-      Some(df.drop(partCols: _*))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // scoped to the series' own directory tree — O(series) listing and
+    // footer reads per merge-write, and immune to sibling writer
+    // processes rewriting OTHER series concurrently (see
+    // LakeIO.readSeriesScoped)
+    LakeIO.readSeriesScoped(spark, root, k).map(_.drop(partCols: _*))
 
   /** Post-write verify (`writer.py:108-132`): series bounds + count via
     * one plain aggregation (no window, no global sort), plus strict

@@ -20,15 +20,16 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
     */
   def compactSeries(key: SeriesKey, maxFiles: Int = 1): Long = {
     val k = key.sanitized
-    val seriesPred =
-      col("exchange") === k.exchange && col("market") === k.market &&
-        col("symbol") === k.symbol && col("type") === k.`type` &&
-        col("period") === k.period
 
-    // mergeSchema (via LakeIO.read): the root holds heterogeneous series
-    // (candles, funding, ticks) — a schema sampled from another series'
-    // file would silently drop this series' data columns on rewrite
-    val df = LakeIO.read(spark, root).filter(seriesPred)
+    // scoped to the series' own directory (LakeIO.readSeriesScoped):
+    // listing + mergeSchema footer reads are O(series), not O(lake),
+    // and a sibling writer rewriting ANOTHER series can't race this
+    // scan. mergeSchema stays on — a schema sampled from one month's
+    // file would silently drop columns other months carry
+    val df = LakeIO.readSeriesScoped(spark, root, k) match {
+      case Some(d) => d
+      case None => return 0L
+    }
     // which (year, month) dirs have too many files?
     val byPartition = df
       .select(col("year"), col("month"), input_file_name().as("f"))
@@ -46,8 +47,8 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
       .reduce(_ || _)
 
     // rewrite only the fragmented dirs (dynamic partition overwrite)
-    LakeIO.read(spark, root)
-      .filter(seriesPred && monthPred)
+    LakeIO.readSeriesScoped(spark, root, k).get
+      .filter(monthPred)
       .localCheckpoint(true) // the write overwrites what this scan reads
       .repartition(partCols.map(col): _*)
       // partition cols lead so the writer's required ordering is already
@@ -69,8 +70,7 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
     */
   def deleteSeries(key: SeriesKey): Boolean = {
     val k = key.sanitized
-    val dir = s"$root/exchange=${k.exchange}/market=${k.market}/symbol=${k.symbol}" +
-      s"/type=${k.`type`}/period=${k.period}"
+    val dir = LakeIO.seriesDir(root, k)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
