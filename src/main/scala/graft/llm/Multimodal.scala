@@ -418,21 +418,27 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("feat", ArrayType(FloatType))))
 
-  /** Decoded per-frame features for multi-frame image containers
-    * (animated GIF on a stock JDK), every `everyNth` frame kept: the
+  /** Decoded per-frame features, every `everyNth` frame kept: the
     * frame-sampling analog of [[featurize]] — input rows fan out to
-    * frame rows via a LAZY iterator chain ([[decodeImageFrames]]
-    * decodes on pull), so a partition never materializes a whole
-    * video's frames; payloads no ImageIO reader claims are dropped.
+    * frame rows via a LAZY iterator chain (decoders decode on pull),
+    * so a partition never materializes a whole video's frames.
+    *
+    * Decoding goes through the pluggable [[FrameDecoder]] chain (first
+    * claimant wins): stock = MJPEG-AVI demux+JPEG-decode, then ImageIO
+    * multi-frame containers (animated GIF, the q75-gated path). An
+    * ffmpeg-backed binding for compressed codecs slots in by prepending
+    * to `decoders` — this method does not change. Payloads no decoder
+    * claims are dropped.
     */
-  def frameFeatures(media: DataFrame, everyNth: Int = 1): DataFrame = {
+  def frameFeatures(media: DataFrame, everyNth: Int = 1,
+                    decoders: Seq[FrameDecoder] = FrameDecoder.stock): DataFrame = {
     require(everyNth > 0)
     media.select("media_id", "content")
       .repartition(col("media_id")) // spread decode work evenly
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getAs[Long]("media_id")
-          decodeImageFrames(r.getAs[Array[Byte]]("content")) match {
+          FrameDecoder.decode(decoders, r.getAs[Array[Byte]]("content")) match {
             case Some(frames) =>
               frames.zipWithIndex.collect {
                 case ((w, h, feat), idx) if idx % everyNth == 0 =>

@@ -464,6 +464,74 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.demuxAvi(avi.take(avi.length - 10)).isEmpty)
   }
 
+  test("FrameDecoder seam: MJPEG-AVI decodes through the stock chain; external decoders slot in") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    def jpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, gray * 0x010101)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      System.arraycopy(le32(33333L), 0, avih, 0, 4)
+      System.arraycopy(le32(frames.size.toLong), 0, avih, 16, 4)
+      System.arraycopy(le32(32L), 0, avih, 32, 4)
+      System.arraycopy(le32(24L), 0, avih, 36, 4)
+      val body = "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", avih)) ++
+        list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+
+    // 1) MJPEG AVI: real compressed-video frames through frameFeatures,
+    //    no decoder parameter passed — the STOCK chain claims it
+    val mjpeg = avi((0 until 7).map(i => jpeg(32, 24, 30 * i)))
+    val media = Seq((1L, "video", mjpeg)).toDF("media_id", "modality", "content")
+    val rows = Multimodal.frameFeatures(media).collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(rows.length == 7)
+    assert(rows.forall(r => r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 24))
+    // gray ramp survives decode: frame i's mean luminance ~ 30i/255
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val mean = r.getAs[scala.collection.Seq[Float]]("feat").sum / 8f
+      assert(math.abs(mean - 30 * i / 255f) < 0.03f, s"frame $i mean=$mean")
+    }
+    val every2 = Multimodal.frameFeatures(media, everyNth = 2).collect()
+      .map(_.getAs[Int]("frame_idx")).sorted
+    assert(every2.sameElements(Array(0, 2, 4, 6)))
+
+    // 2) an AVI carrying a codec the JDK can't decode is NOT claimed —
+    //    it falls through the stock chain and is dropped, not garbled
+    val h264ish = avi((0 until 3).map(i => Array.tabulate[Byte](500)(j => ((i + j) % 251).toByte)))
+    val codecMedia = Seq((2L, "video", h264ish)).toDF("media_id", "modality", "content")
+    assert(Multimodal.frameFeatures(codecMedia).count() == 0)
+
+    // 3) the seam: an "external binding" claiming that codec slots in by
+    //    PREPENDING to the chain — query code (frameFeatures) unchanged
+    object FakeFfmpeg extends FrameDecoder {
+      val name = "fake-ffmpeg"
+      def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]] =
+        Multimodal.demuxAvi(content).map(v =>
+          (0 until v.frames.size).iterator.map(i => (32, 24, Array.fill(8)(i / 10f))))
+    }
+    val both = codecMedia.unionByName(media)
+    val ext = Multimodal.frameFeatures(both, decoders = FakeFfmpeg +: FrameDecoder.stock)
+      .collect()
+    assert(ext.count(_.getAs[Long]("media_id") == 2L) == 3, "external decoder claims the codec")
+    // the external impl, being first, also claims the MJPEG AVI — the
+    // chain is strictly ordered, exactly like ImageIO's reader registry
+    assert(ext.count(_.getAs[Long]("media_id") == 1L) == 7)
+  }
+
   test("multimodal frame sampling fans out lazily with every-Nth selection") {
     val videoBytes = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
     val media = Seq((7L, "video", videoBytes),
