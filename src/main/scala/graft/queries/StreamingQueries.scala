@@ -47,14 +47,23 @@ object StreamingQueries {
       |ORDER BY bucket_ms, event_type""".stripMargin) { (s, d) =>
     // nanosAsLong is session-build config (core.Sessions) — no per-query set
     val path = s"$d/events.parquet"
+    // The stream runs on a SESSION CLONE (shared SparkContext, own conf/
+    // catalog) with 8 shuffle partitions: the stateful agg creates one
+    // state store per shuffle partition and checkpoints each per batch,
+    // so 32 partitions for 3.6k state groups is pure per-run fixed cost
+    // (measured: 1.9 s → 1.4 s at sf0.1; below 8 the curve is flat —
+    // the rest is stream-machinery floor, documented in BASELINE.md).
+    // The clone keeps this OFF the caller's session — no spooky conf.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
     // file-stream sources need an explicit schema; taking it from a batch
     // read keeps the stream schema-adaptive exactly like Tables.events
-    val schema = s.read.parquet(path).schema
+    val schema = ss.read.parquet(path).schema
     // a single-FILE table trips FileStreamSource's basePath injection
     // ("Option 'basePath' must be a directory"); a glob path skips that
     // injection and matches both a bare file and a parquet directory
     val streamPath = s"$d/events.parque[t]"
-    val agg = Tables.normalizeTsNs(s.readStream.schema(schema).parquet(streamPath))
+    val agg = Tables.normalizeTsNs(ss.readStream.schema(schema).parquet(streamPath))
       .withColumn("event_time", timestamp_micros(Tables.nsToUs("ts")))
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -65,18 +74,27 @@ object StreamingQueries {
         unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("total_value"))
     // fresh checkpoint per invocation: each run (warmup AND timed) must
-    // reprocess the whole bounded stream, not resume an earlier run's
-    val ckpt = Files.createTempDirectory("graft-q74-ckpt").toString
+    // reprocess the whole bounded stream, not resume an earlier run's;
+    // deleted after stop so long sessions don't accumulate run dirs
+    val ckpt = Files.createTempDirectory("graft-q74-ckpt")
     val q = agg.writeStream
       .format("memory")
       .queryName("q74_stream_sink")
       .outputMode("append")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
-    finally q.stop()
-    s.table("q74_stream_sink").orderBy("bucket_ms", "event_type")
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      try Files.walk(ckpt).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+      catch { case _: Exception => () }
+    }
+    // the memory sink registers in the CLONE's catalog; the result is
+    // materialized rows, valid on the shared context after return
+    ss.table("q74_stream_sink").orderBy("bucket_ms", "event_type")
   }
 
   val all: Seq[Q] = Seq(streamWindowAgg)
