@@ -62,17 +62,7 @@ object BenchPartitioned {
   }
 
   /** Executed-plan file count of the lake scan (AQE-unwrapped). */
-  private def filesRead(df: DataFrame): Long = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
-  }
+  private def filesRead(df: DataFrame): Long = graft.core.PlanInspect.filesRead(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
