@@ -39,6 +39,14 @@ import graft.storage.{LakeReader, LakeWriter, SeriesKey}
   * becomes one series, written via `LakeWriter.writeTicks` (merge-write,
   * dynamic partition overwrite, per-file ts sort); the WriteReport's
   * uniqueness+monotonicity bit is `require`d as the premise.
+  *
+  * Scale note: the rank window partitions by event type (5 groups), so
+  * fixture construction funnels each type through one sort task. That
+  * is a FIXTURE-ONLY device — the oracle must be able to replay the
+  * map as one static SQL — not a production re-timestamping pattern;
+  * the operators under test (writer, reader, optimizer rule) see only
+  * the finished lake. Verified through sf10 (2 M rows/group) where the
+  * build remains a one-off, seconds-scale cost per session.
   */
 object LakeGates {
 
