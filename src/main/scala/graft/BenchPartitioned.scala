@@ -40,10 +40,14 @@ object BenchPartitioned {
   private def buildLake(spark: SparkSession, sfDir: String, lakeRoot: String): Unit = {
     val ev = Tables.events(spark, sfDir) // ts = LONG epoch-ns
     val minNs = ev.agg(min("ts")).head().getLong(0)
-    // stretch the 30-day stream ×24 → ~24 month partitions; µs→ms after
-    // the stretch so sub-ms structure spreads rather than collapsing
+    // stretch the 30-day stream ×24 → ~24 month partitions; multiply
+    // BEFORE the ns→ms truncation so sub-ms structure spreads rather
+    // than collapsing (truncate-first mapped same-source-ms events —
+    // 43 pairs at sf1 — to duplicate lake ts, making the keep-last and
+    // as-of shapes' outputs tie-dependent); no overflow: 30 d of ns
+    // ×24 ≈ 6.2e16 ≪ Long.MaxValue
     val stretched = ev
-      .withColumn("ts", expr(s"(ts - ${minNs}L) div 1000000 * 24 + ${T0}L"))
+      .withColumn("ts", expr(s"(ts - ${minNs}L) * 24 div 1000000 + ${T0}L"))
       .withColumn("exchange", lit("BENCH"))
       .withColumn("market", lit("SPOT"))
       .withColumn("symbol", upper(col("event_type")))
@@ -138,17 +142,11 @@ object BenchPartitioned {
       "p20_resample" -> resample, "p21_gap_detect" -> gapDetect,
       "p23_keep_last" -> keepLast, "p68_asof" -> asof)
 
-    val monthDirFiles = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(lakeRoot)).iterator().asScala
-        .count(p => p.toString.contains("year=2023/month=7/")
-          && p.toString.endsWith(".parquet"))
-    }
-    val totalFiles = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(lakeRoot)).iterator().asScala
-        .count(_.toString.endsWith(".parquet"))
-    }
+    val monthDirFiles = graft.core.PathWalk.walk(Paths.get(lakeRoot))(
+      _.count(p => p.toString.contains("year=2023/month=7/")
+        && p.toString.endsWith(".parquet")).toLong)
+    val totalFiles = graft.core.PathWalk.walk(Paths.get(lakeRoot))(
+      _.count(_.toString.endsWith(".parquet")).toLong)
 
     def timed(df: => DataFrame): (Double, Long, Long) = {
       val d = df

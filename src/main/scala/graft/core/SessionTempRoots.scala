@@ -20,11 +20,8 @@ object SessionTempRoots {
 
   private lazy val reaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
     roots.forEach { r =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
+      try PathWalk.deleteRecursively(java.nio.file.Paths.get(r))
+      catch { case _: Exception => () }
     }))
 
   /** The memoized temp root for (session, key); `build(root)` runs once,

@@ -57,9 +57,11 @@ object FrameDecoder {
           val (from, len) = v.frames(idx)
           Multimodal.decodeImage(java.util.Arrays.copyOfRange(content, from, from + len))
         }
-        if (v.frames.isEmpty) Some(Iterator.empty)
-        else if (decodeAt(0).isEmpty) None // not a JDK-decodable codec
-        else Some((0 until v.frames.size).iterator.flatMap(decodeAt(_).iterator))
+        // the claim probe IS frame 0's decode — seed the lazy iterator
+        // with it rather than decoding the first frame twice per asset
+        if (v.frames.isEmpty) None // demuxAvi yields None here, but stay total
+        else decodeAt(0).map(f0 =>
+          Iterator.single(f0) ++ (1 until v.frames.size).iterator.flatMap(decodeAt(_).iterator))
       }
   }
 

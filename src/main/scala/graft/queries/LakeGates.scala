@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -80,13 +80,11 @@ object LakeGates {
       }
     }
 
-  private def countParquet(root: String, mustContain: String*): Long = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(root)).iterator().asScala.count { p =>
+  private def countParquet(root: String, mustContain: String*): Long =
+    graft.core.PathWalk.walk(Paths.get(root))(_.count { p =>
       val str = p.toString
       str.endsWith(".parquet") && mustContain.forall(str.contains)
-    }
-  }
+    }.toLong)
 
   /** Execute `df` once so scan metrics exist, then pin the file count:
     * pruned ≤ the target months' files, and strictly fewer than the

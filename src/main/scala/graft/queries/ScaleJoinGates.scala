@@ -31,9 +31,14 @@ object ScaleJoinGates {
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
     // table identity must track the DATA DIR (sf0.001 spec runs and
     // sf0.01 verify runs share one JVM session) — derived from the full
-    // sanitized path, not a hashCode, so two dirs can never alias the
-    // same table name and silently repoint each other's buckets
-    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+    // path via an INJECTIVE escape (every non-alnum char, including the
+    // escape lead '_' itself, becomes _hex_), so two dirs can never
+    // alias the same table name and silently repoint each other's
+    // buckets (a plain replaceAll collapses e.g. sf0.1 and sf0_1)
+    val suffix = d.flatMap {
+      case c if c.isLetterOrDigit => c.toString
+      case c => "_" + c.toInt.toHexString + "_"
+    }
     val fact = s"graft_q78_fact_$suffix"
     val dim = s"graft_q78_dim_$suffix"
     graft.core.SessionTempRoots.of(s, d, "graft_bktjoin_") { root =>

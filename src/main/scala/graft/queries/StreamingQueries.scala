@@ -87,9 +87,7 @@ object StreamingQueries {
     try q.awaitTermination()
     finally {
       q.stop()
-      import scala.jdk.CollectionConverters._
-      try Files.walk(ckpt).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
+      try graft.core.PathWalk.deleteRecursively(ckpt)
       catch { case _: Exception => () }
     }
     // the memory sink registers in the CLONE's catalog; the result is

@@ -111,6 +111,14 @@ private[storage] object LakeIO {
         df.schema // force partition discovery NOW, while inference is off
         Some(df.withColumn("year", col("year").cast("int"))
           .withColumn("month", col("month").cast("int")))
+      } catch {
+        // a directory that EXISTS but holds no readable parquet footers
+        // (a writer killed mid-flush leaving only staging/_temporary
+        // debris — precisely the q81 forked-child crash shape) is an
+        // empty series, not a permanently wedged one: schema inference
+        // throws AnalysisException, and without this guard every later
+        // merge-write on the series would fail until manual cleanup
+        case _: org.apache.spark.sql.AnalysisException => None
       } finally prev match {
         case Some(v) => spark.conf.set(InferenceConf, v)
         case None => spark.conf.unset(InferenceConf)

@@ -60,7 +60,7 @@ class CatalogScaleSpec extends SparkSpec {
     ((pin + 2) to Commits.toLong).foreach { seq =>
       Files.createLink(Paths.get(logDir, f"$seq%020d.parquet"), template)
     }
-    assert(Files.list(Paths.get(logDir)).count() == Commits)
+    assert(graft.core.PathWalk.list(Paths.get(logDir))(_.size.toLong) == Commits)
     assert(cat.currentSeq() == Commits)
 
     def timed[T](f: => T): (T, Long) = {

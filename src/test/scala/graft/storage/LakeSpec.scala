@@ -133,4 +133,25 @@ class LakeSpec extends SparkSpec {
     val page2 = reader.page(base, 10, 10).select("ts").collect().map(_.getLong(0))
     assert(page2.toSeq == data.slice(10, 20).map(_.ts))
   }
+
+  test("series dir holding only writer debris reads as first write, not a wedge") {
+    // a writer killed mid-flush (the q81 forked-child crash shape)
+    // leaves the series directory existing but without one readable
+    // parquet footer; the next merge-write must treat that as an empty
+    // series instead of failing on schema inference forever
+    val root = tmpDir("lake-debris")
+    val key = SeriesKey("EX", "M", "SYM", "raw", "1m")
+    val debris = java.nio.file.Paths.get(
+      LakeIO.seriesDir(root, key.sanitized), "year=2023", "month=1", "_temporary")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("task-0.snappy.parquet.staging"),
+      Array[Byte](1, 2, 3))
+
+    val data = genCandles(20)
+    val rep = new LakeWriter(spark, root).writeOhlc(candleDf(data), key)
+    assert(rep.rows == 20 && rep.monotonic, s"merge-write must recover: $rep")
+    val got = new LakeReader(spark, root)
+      .readRange("EX", "SYM", "raw", data.head.ts, data.last.ts).count()
+    assert(got == 20)
+  }
 }
