@@ -24,10 +24,17 @@ package graft.llm
 trait FrameDecoder extends Serializable {
   def name: String
 
-  /** Lazily decoded frames of `content`, or None when this decoder does
-    * not claim the payload (the chain then tries the next decoder).
+  /** Lazily decoded frames of `content` as `(containerIdx, width,
+    * height, feature)`, or None when this decoder does not claim the
+    * payload (the chain then tries the next decoder).
+    *
+    * `containerIdx` is the frame's position ON THE CONTAINER'S FRAME
+    * GRID, not a post-skip ordinal: a decoder that skips an undecodable
+    * mid-stream frame must still number later frames by container
+    * position, so every-Nth sampling and frame_ms derivation stay
+    * aligned to the container's timeline after a bad frame.
     */
-  def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]]
+  def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Int, Array[Float])]]
 }
 
 object FrameDecoder {
@@ -37,7 +44,7 @@ object FrameDecoder {
     */
   object ImageIoFrames extends FrameDecoder {
     val name = "imageio"
-    def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]] =
+    def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Int, Array[Float])]] =
       Multimodal.decodeImageFrames(content)
   }
 
@@ -51,11 +58,15 @@ object FrameDecoder {
     */
   object AviMjpegFrames extends FrameDecoder {
     val name = "avi-mjpeg"
-    def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]] =
+    def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Int, Array[Float])]] =
       Multimodal.demuxAvi(content).flatMap { v =>
-        def decodeAt(idx: Int): Option[(Int, Int, Array[Float])] = {
+        // container-aligned: a skipped mid-stream frame (truncated tail
+        // chunk) leaves a HOLE in the idx sequence rather than shifting
+        // later frames off the container's frame grid
+        def decodeAt(idx: Int): Option[(Int, Int, Int, Array[Float])] = {
           val (from, len) = v.frames(idx)
           Multimodal.decodeImage(java.util.Arrays.copyOfRange(content, from, from + len))
+            .map { case (w, h, feat) => (idx, w, h, feat) }
         }
         // the claim probe IS frame 0's decode — seed the lazy iterator
         // with it rather than decoding the first frame twice per asset
@@ -72,7 +83,7 @@ object FrameDecoder {
 
   /** First decoder in `chain` that claims `content`, as lazy frames. */
   def decode(chain: Seq[FrameDecoder], content: Array[Byte])
-  : Option[Iterator[(Int, Int, Array[Float])]] = {
+  : Option[Iterator[(Int, Int, Int, Array[Float])]] = {
     val it = chain.iterator
     while (it.hasNext) {
       val d = it.next()

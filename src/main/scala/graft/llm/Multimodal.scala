@@ -75,7 +75,7 @@ object Multimodal {
     * training-data norm, are exact; partial-update GIFs would need a
     * compositor here).
     */
-  def decodeImageFrames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]] = {
+  def decodeImageFrames(content: Array[Byte]): Option[Iterator[(Int, Int, Int, Array[Float])]] = {
     if (content == null || content.length < 4) return None
     try {
       javax.imageio.ImageIO.setUseCache(false)
@@ -86,10 +86,15 @@ object Multimodal {
       val reader = readers.next()
       reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)
-      val frames = (0 until n).iterator.map { i =>
-        val f = bandFeatures(reader.read(i))
+      val frames = (0 until n).iterator.flatMap { i =>
+        // a frame that fails to decode mid-container is skipped, but its
+        // CONTAINER index is preserved (FrameDecoder contract): later
+        // frames keep their true positions so every-Nth sampling stays
+        // on the container's frame grid
+        val f = try Some(bandFeatures(reader.read(i)))
+                catch { case _: Exception => None }
         if (i == n - 1) { reader.dispose(); iis.close() }
-        f
+        f.map { case (w, h, feat) => (i, w, h, feat) }.iterator
       }
       Some(frames)
     } catch { case _: Throwable => None }
@@ -440,8 +445,11 @@ object Multimodal {
           val id = r.getAs[Long]("media_id")
           FrameDecoder.decode(decoders, r.getAs[Array[Byte]]("content")) match {
             case Some(frames) =>
-              frames.zipWithIndex.collect {
-                case ((w, h, feat), idx) if idx % everyNth == 0 =>
+              // frame_idx and the every-Nth grid come from the DECODER's
+              // container index, not a post-skip zipWithIndex — a bad
+              // mid-stream frame must not shift every later frame's idx
+              frames.collect {
+                case (idx, w, h, feat) if idx % everyNth == 0 =>
                   Row(id, idx, w, h, feat.toSeq)
               }
             case None => Iterator.empty

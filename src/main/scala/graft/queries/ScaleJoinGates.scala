@@ -30,15 +30,15 @@ object ScaleJoinGates {
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
     // table identity must track the DATA DIR (sf0.001 spec runs and
-    // sf0.01 verify runs share one JVM session) — derived from the full
-    // path via an INJECTIVE escape (every non-alnum char, including the
-    // escape lead '_' itself, becomes _hex_), so two dirs can never
-    // alias the same table name and silently repoint each other's
-    // buckets (a plain replaceAll collapses e.g. sf0.1 and sf0_1)
-    val suffix = d.flatMap {
-      case c if c.isLetterOrDigit => c.toString
-      case c => "_" + c.toInt.toHexString + "_"
-    }
+    // sf0.01 verify runs share one JVM session) — a SHA-256 of the full
+    // path, so two dirs can never alias the same table name and silently
+    // repoint each other's buckets. A digest (rather than an injective
+    // char escape) is deliberate: Spark SQL table identifiers resolve
+    // case-INSENSITIVELY, so any escape that passes letters through
+    // verbatim still collides /data/SF1 with /data/sf1; hex output is
+    // case-stable and bounded-length for arbitrarily deep paths
+    val suffix = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val fact = s"graft_q78_fact_$suffix"
     val dim = s"graft_q78_dim_$suffix"
     graft.core.SessionTempRoots.of(s, d, "graft_bktjoin_") { root =>

@@ -58,24 +58,61 @@ final case class WriteReport(rows: Long, timeFrom: Long, timeTo: Long,
 private[storage] object LakeIO {
   val InferenceConf = "spark.sql.sources.partitionColumnTypeInference.enabled"
 
+  /** One dedicated lake-IO session per caller session (shared
+    * SparkContext, own SQL conf) with partition-type inference disabled
+    * PERMANENTLY. This replaces the old per-read set/restore window on
+    * the caller's shared conf, which two concurrent lake reads on one
+    * session could race — one read's restore landing mid-way through the
+    * other's partition discovery would turn inference back ON and fork
+    * `period=1d` to DOUBLE (the exact bug the conf exists to prevent).
+    * A clone's conf is immutable-after-init here, so concurrent reads
+    * are trivially safe; builder-level confs (shuffle partitions, split
+    * sizes, timezone) live in the SparkConf and are inherited.
+    */
+  private val ioSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def ioSession(spark: SparkSession): SparkSession = {
+    ioSessions.forEach((k, _) => if (k.sparkContext.isStopped) ioSessions.remove(k): Unit)
+    ioSessions.computeIfAbsent(spark, base => {
+      val c = base.newSession()
+      c.conf.set(InferenceConf, "false")
+      c
+    })
+  }
+
   def read(spark: SparkSession, root: String, mergeSchema: Boolean = true): DataFrame = {
-    val prev = spark.conf.getOption(InferenceConf)
-    spark.conf.set(InferenceConf, "false")
-    try {
-      val df = spark.read.option("mergeSchema", mergeSchema.toString).parquet(root)
-      df.schema // force partition discovery NOW, while inference is off
-      df.withColumn("year", col("year").cast("int"))
-        .withColumn("month", col("month").cast("int"))
-    } finally prev match {
-      case Some(v) => spark.conf.set(InferenceConf, v)
-      case None => spark.conf.unset(InferenceConf)
-    }
+    val df = ioSession(spark).read
+      .option("mergeSchema", mergeSchema.toString).parquet(root)
+    df.withColumn("year", col("year").cast("int"))
+      .withColumn("month", col("month").cast("int"))
   }
 
   /** The Hive-style directory of one series under `root` (sanitized key). */
   def seriesDir(root: String, k: SeriesKey): String =
     s"$root/exchange=${k.exchange}/market=${k.market}/symbol=${k.symbol}" +
       s"/type=${k.`type`}/period=${k.period}"
+
+  /** Does this tree hold any committed data file (non-hidden *.parquet)?
+    * Distinguishes writer-crash debris (only `_temporary`/dot staging
+    * files — safe to treat as an empty series) from a real series whose
+    * read failed for a reason that must propagate.
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val name = f.getName
+      // a file under a hidden (staging) directory is debris, not data
+      val hiddenAncestor = Iterator.iterate(f.getParent)(_.getParent)
+        .takeWhile(p => p != null && p.toString.length >= dir.toString.length)
+        .exists(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith(".") &&
+        name.endsWith(".parquet") && !hiddenAncestor) return true
+    }
+    false
+  }
 
   /** Open ONE series, scoped to its own directory tree: `basePath`
     * keeps the partition columns, but listing, schema inference
@@ -101,14 +138,12 @@ private[storage] object LakeIO {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) None
     else {
-      val prev = spark.conf.getOption(InferenceConf)
-      spark.conf.set(InferenceConf, "false")
       try {
-        val df = spark.read
+        val df = ioSession(spark).read
           .option("mergeSchema", mergeSchema.toString)
           .option("basePath", root)
           .parquet(dir)
-        df.schema // force partition discovery NOW, while inference is off
+        df.schema // force partition discovery NOW (fail fast, see catch)
         Some(df.withColumn("year", col("year").cast("int"))
           .withColumn("month", col("month").cast("int")))
       } catch {
@@ -117,11 +152,14 @@ private[storage] object LakeIO {
         // debris — precisely the q81 forked-child crash shape) is an
         // empty series, not a permanently wedged one: schema inference
         // throws AnalysisException, and without this guard every later
-        // merge-write on the series would fail until manual cleanup
-        case _: org.apache.spark.sql.AnalysisException => None
-      } finally prev match {
-        case Some(v) => spark.conf.set(InferenceConf, v)
-        case None => spark.conf.unset(InferenceConf)
+        // merge-write on the series would fail until manual cleanup.
+        // The catch is NARROW by data-file probe, not by exception type:
+        // an irreconcilable mergeSchema conflict (incompatible column
+        // types across months) is ALSO an AnalysisException, and mapping
+        // it to "empty series" would let the next merge-write treat real
+        // data as a first write — rethrow whenever data files exist
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (hasDataFiles(fs, hPath)) throw e else None
       }
     }
   }

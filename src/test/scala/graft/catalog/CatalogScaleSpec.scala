@@ -88,15 +88,18 @@ class CatalogScaleSpec extends SparkSpec {
     assert(snapAfter == snapBefore, "snapshot changed across compaction")
     assert(pinnedAfter == pinnedBefore, s"pinned asOf($pin) changed across compaction")
 
-    // latency regime, not a microbenchmark: a 1-file read must beat the
-    // 10^4-file read (they differ by ~an order of magnitude here; the
-    // margin keeps CI noise out)
+    // latency regime, not a microbenchmark: the 1-file read differs from
+    // the 10^4-file read by ~an order of magnitude here, but these are
+    // SINGLE-SAMPLE wall clocks — a GC pause or cold-JIT spike on the
+    // post-compaction read must not flake the suite (filesAfter == 1
+    // above is the hard structural gate), so demand only a generous 2x
+    // bound instead of strict improvement
     info(s"listEntries: ${tListBefore}ms over $Commits files -> ${tListAfter}ms over 1")
     info(s"asOf(pin):   ${tAsOfBefore}ms over $Commits files -> ${tAsOfAfter}ms over 1")
-    assert(tListAfter < tListBefore,
-      s"compaction must keep listEntries flat ($tListAfter ms !< $tListBefore ms)")
-    assert(tAsOfAfter < tAsOfBefore,
-      s"compaction must keep asOf flat ($tAsOfAfter ms !< $tAsOfBefore ms)")
+    assert(tListAfter < math.max(tListBefore / 2, 250),
+      s"compaction must keep listEntries flat ($tListAfter ms vs $tListBefore ms pre-compaction)")
+    assert(tAsOfAfter < math.max(tAsOfBefore / 2, 250),
+      s"compaction must keep asOf flat ($tAsOfAfter ms vs $tAsOfBefore ms pre-compaction)")
 
     // appends after compaction continue the same total order (the base
     // segment itself claimed seq Commits+1 at publish)

@@ -519,9 +519,9 @@ class LlmSpec extends SparkSpec {
     //    PREPENDING to the chain — query code (frameFeatures) unchanged
     object FakeFfmpeg extends FrameDecoder {
       val name = "fake-ffmpeg"
-      def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Array[Float])]] =
+      def frames(content: Array[Byte]): Option[Iterator[(Int, Int, Int, Array[Float])]] =
         Multimodal.demuxAvi(content).map(v =>
-          (0 until v.frames.size).iterator.map(i => (32, 24, Array.fill(8)(i / 10f))))
+          (0 until v.frames.size).iterator.map(i => (i, 32, 24, Array.fill(8)(i / 10f))))
     }
     val both = codecMedia.unionByName(media)
     val ext = Multimodal.frameFeatures(both, decoders = FakeFfmpeg +: FrameDecoder.stock)

@@ -13,8 +13,9 @@ class GifFramesSpec extends SparkSpec {
   test("buildGif round-trips: frame count, dims, exact grays (k=5)") {
     val frames = Multimodal.decodeImageFrames(MediaOps.buildGif(5)).get.toVector
     assert(frames.size == 4) // 3 + 5%4
-    assert(frames.forall { case (w, h, _) => w == 13 && h == 9 })
-    val grays = frames.map { case (_, _, f) => math.round(f(0) * 255) }
+    assert(frames.map { case (i, _, _, _) => i } == Vector(0, 1, 2, 3))
+    assert(frames.forall { case (_, w, h, _) => w == 13 && h == 9 })
+    val grays = frames.map { case (_, _, _, f) => math.round(f(0) * 255) }
     assert(grays == Vector(50L, 55L, 60L, 65L))
   }
 
