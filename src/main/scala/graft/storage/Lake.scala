@@ -190,8 +190,18 @@ final class LakeWriter(spark: SparkSession, root: String) {
   /** Merge-write (upsert) a batch into the series: last-wins on `ts`
     * vs rows already in the lake (S6/J3/A5/W2). Requires a `ts` column
     * (epoch-ms), as the reference does (`writer.py:162-164`).
+    *
+    * The whole read-merge-overwrite-verify section holds the series'
+    * [[SeriesLease]]: a compactor (or a second writer on the SAME
+    * series) rewriting the months between this write's existing-data
+    * scan and its dynamic overwrite would silently lose whichever
+    * side committed first (gated by q84). Writers on different series
+    * never contend — disjoint lease files (the q81 model).
     */
-  def writeOhlc(df: DataFrame, key: SeriesKey): WriteReport = {
+  def writeOhlc(df: DataFrame, key: SeriesKey): WriteReport =
+    SeriesLease.withLease(root, key)(writeOhlcLocked(df, key))
+
+  private def writeOhlcLocked(df: DataFrame, key: SeriesKey): WriteReport = {
     require(df.columns.contains("ts"), "OHLCV dataframe must contain a 'ts' column")
     val k = key.sanitized
     val incoming = withPartitionCols(df, k).withColumn("_batch", lit(1))

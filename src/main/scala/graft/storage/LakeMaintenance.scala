@@ -15,10 +15,22 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
   /** Compact a series' month partitions to one ts-sorted file each:
     * read → repartition on the partition key → sortWithinPartitions(ts)
     * → dynamic overwrite. Only directories with more than `maxFiles`
-    * files are rewritten (touch nothing that's already compact).
+    * files are rewritten (touch nothing that's already compact);
+    * `maxFiles = 0` forces a full re-sort/rewrite of every month (the
+    * re-cluster mode, and the q84 race gate's maximal-conflict mode).
     * Returns the number of (year, month) partitions rewritten.
+    *
+    * Safe against a LIVE writer on the same series: the read-overwrite
+    * section holds the series' [[SeriesLease]], so an ingest flush
+    * landing mid-compaction can neither be overwritten by this
+    * rewrite's stale snapshot nor read this rewrite's half-committed
+    * directories (gated end-to-end by q84, which races this method
+    * against a forked-JVM ingest loop).
     */
-  def compactSeries(key: SeriesKey, maxFiles: Int = 1): Long = {
+  def compactSeries(key: SeriesKey, maxFiles: Int = 1): Long =
+    SeriesLease.withLease(root, key)(compactSeriesLocked(key, maxFiles))
+
+  private def compactSeriesLocked(key: SeriesKey, maxFiles: Int): Long = {
     val k = key.sanitized
 
     // scoped to the series' own directory (LakeIO.readSeriesScoped):
