@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ EventsOps.all ++ TextOps.all ++ Embeddings.all ++
       LlmOps.all ++ Extended.all ++ CurationOps.all ++ CorpusStatsOps.all ++
       MediaOps.all ++ StreamingQueries.all ++ IngestGates.all ++ ScaleJoinGates.all ++
-      MultiWriterGate.all ++ LakeGates.all ++ MaintenanceGate.all
+      MultiWriterGate.all ++ LakeGates.all ++ MaintenanceGate.all ++
+      FeatureGate.all ++ StreamingCurationGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -186,30 +186,18 @@ object Extended {
     * both engines compute bit-identical values.
     */
   val langIdDist: Q = Q(
-    "q47_lang_id_dist", {
-      val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-      def score(l: String): String = {
-        val in = TextAnalysis.langMarkers(l).map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(toks, t -> t IN ($in))) * 1.0 / greatest(len(toks), 1)"
-      }
-      val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n      ")
-      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      // foldLeft over sorted langs: later equal-best overwrites ⇒
-      // reverse-order priority in the CASE chain
-      val cases = langs.reverse.map(l =>
-        s"WHEN s_$l >= 0.02 AND s_$l = $best THEN '$l'").mkString("\n        ")
-      s"""WITH toks AS (
-         |  SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents),
-         |scored AS (
-         |  SELECT $scoreCols FROM toks)
-         |SELECT CASE
-         |        $cases
-         |        ELSE 'unknown' END AS predicted,
-         |  COUNT(*) AS n
-         |FROM scored
-         |GROUP BY predicted
-         |ORDER BY predicted""".stripMargin
-    }) { (s, d) =>
+    "q47_lang_id_dist",
+    // score columns + tie-priority CASE generated from the kernel's own
+    // marker lists — see queries.DuckLang (shared with q86)
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+       |scored AS (
+       |  SELECT ${DuckLang.scoreCols} FROM toks)
+       |SELECT ${DuckLang.predictedCase} AS predicted,
+       |  COUNT(*) AS n
+       |FROM scored
+       |GROUP BY predicted
+       |ORDER BY predicted""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy("predicted").agg(count(lit(1)).as("n"))
