@@ -239,8 +239,15 @@ object LlmOps {
   }
 
   /** q69's persisted band index, built ONCE per (session, data dir):
-    * initLshIndex + one appending incremental pass over the "corpus"
-    * slice (doc_id % 4 != 0) on first ask. Every later call — including
+    * initLshIndex + appending incremental passes over the "corpus"
+    * slice (doc_id % 8 == 1, % 8 == 5, then % 4 in (2,3)) with a FORCED
+    * [[Dedup.compactLshIndex]] mid-sequence and another before the
+    * gated read — so the oracle-checked q69 pair set proves the index
+    * survives compaction mid-append-sequence AND that the probe reads a
+    * compacted layout, the same invariance q70 gates for the lake. The
+    * first compaction must actually rewrite (each append lands multiple
+    * files; `require`d), making a silently-no-op park-and-swap a red
+    * CORRECTNESS row, not a skipped branch. Every later call — including
     * every timed bench pass — runs only the production ingest path: band
     * rows for the NEW batch, equi-join against the persisted index,
     * exact-Jaccard verify on candidates. Temp roots are reaped at JVM
@@ -249,10 +256,23 @@ object LlmOps {
   private def persistedLshRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.core.SessionTempRoots.of(s, d, "graft_lsh_") { root =>
       Dedup.initLshIndex(s, root)
-      // seed the index with the corpus slice; the returned (corpus-internal)
-      // pair set is irrelevant here — run it to completion for the append
+      val corpus = Tables.documents(s, d)
+      // the returned (corpus-internal) pair sets are irrelevant here —
+      // run them to completion for the appends. The %4==1 slice is
+      // split into TWO appends (%8==1, %8==5 — both non-empty at every
+      // driver SF) so each subdir holds ≥2 files however AQE coalesces
+      // a single append's output: the forced compaction below can
+      // never be a legitimate no-op.
+      Dedup.minhashLshIncremental(corpus.filter(col("doc_id") % 8 === 1), root).count()
+      Dedup.minhashLshIncremental(corpus.filter(col("doc_id") % 8 === 5), root).count()
+      val (before1, after1) = Dedup.compactLshIndex(s, root, targetFiles = 1)
+      require(after1 < before1,
+        s"q69 premise: mid-sequence index compaction must rewrite ($before1 -> $after1 files)")
       Dedup.minhashLshIncremental(
-        Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), root).count()
+        corpus.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3), root).count()
+      val (before2, after2) = Dedup.compactLshIndex(s, root, targetFiles = 1)
+      require(after2 < before2,
+        s"q69 premise: pre-probe index compaction must rewrite ($before2 -> $after2 files)")
     }
 
   /** Incremental ingest dedup (the production pipeline shape): the NEW
