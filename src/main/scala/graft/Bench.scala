@@ -66,6 +66,19 @@ object Bench {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // free-space premise (stated up front, not discovered at query 40):
+    // big-SF suites need scratch of the same order as the input — warn
+    // loudly when the volume holding spark.local.dir starts below 2×
+    // the input size, so an ENOSPC mid-suite is never a surprise
+    locally {
+      val inputBytes = Option(new java.io.File(sfDir).listFiles())
+        .map(_.map(_.length).sum).getOrElse(0L)
+      val free = java.nio.file.Files.getFileStore(java.nio.file.Paths.get(
+        spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))).getUsableSpace
+      if (free < 2L * inputBytes)
+        System.err.println(f"[scratch] WARNING: ${free / 1e9}%.1f GB free < 2x input " +
+          f"${inputBytes / 1e9}%.1f GB - big-output queries may exhaust scratch")
+    }
     // Warmup (not timed): run every query once AT THE TARGET SF. AQE
     // re-plans per scale factor (different join strategies ⇒ different
     // codegen), so warming at a smaller SF still leaves first-run JIT
@@ -113,9 +126,34 @@ object Bench {
     // what this harness is defined to measure). SPARK_GRAFT_GC_BETWEEN=0
     // restores the old behavior.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0"
+    // Scratch headroom (the sf100 q70 lesson): a giant-output query
+    // (q43 at sf100 shuffles ~74.5 G pairs) can fill the scratch volume
+    // and fail the NEXT query's fixture write even though its own
+    // shuffle files are dead — deletion is async (GC handle drop →
+    // ContextCleaner). Before each query, if free space on the Spark
+    // local dir drops below the floor, poll GC+cleaner up to 30 s until
+    // space returns; a suite-killing ENOSPC becomes, at worst, a loud
+    // stderr line and one slow inter-query gap. Floor default 12 GiB
+    // (override SPARK_GRAFT_MIN_FREE_GB; 0 disables) — only ever
+    // reached at sf≥100, so small-SF bench timings are unaffected.
+    val minFreeBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "12").toLong * (1L << 30)
+    val scratchDir = java.nio.file.Paths.get(
+      spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
+    def freeBytes(): Long = java.nio.file.Files.getFileStore(scratchDir).getUsableSpace
     def interQuery(): Unit = {
       graft.core.Checkpoints.freeAll()
       if (gcBetween) System.gc()
+      if (minFreeBytes > 0 && freeBytes() < minFreeBytes) {
+        val t0 = System.nanoTime()
+        val before = freeBytes()
+        while (freeBytes() < minFreeBytes && (System.nanoTime() - t0) < 30e9.toLong) {
+          System.gc() // drop dead shuffle/broadcast handles → ContextCleaner deletes
+          Thread.sleep(1000)
+        }
+        System.err.println(f"[scratch] free ${before / 1e9}%.1f GB -> " +
+          f"${freeBytes() / 1e9}%.1f GB after reap (floor ${minFreeBytes / 1e9}%.1f GB)")
+      }
     }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
