@@ -129,4 +129,31 @@ class LakeMetadataScaleSpec extends SparkSpec {
       s"listing a $totalFiles-file lake took ${tFrag}ms — the metadata " +
         "path has left the interactive regime")
   }
+
+  test("10^5-file lake: pruning and listing hold one more decade") {
+    // the same month, re-fragmented into 100 files — 40 series × 24
+    // months × 100 files = 96,000, the decade where an unbounded
+    // metadata path visibly falls over
+    val stage = tmpDir("stage5")
+    candleDf(genCandles(1000)).repartition(100)
+      .write.mode("overwrite").parquet(stage)
+    val fragments = graft.core.PathWalk.walk(Paths.get(stage))(
+      _.filter(_.toString.endsWith(".parquet")).toVector)
+    assert(fragments.size == 100)
+
+    val root = buildLake(fragments, 100)
+    val totalFiles = countParquet(root)
+    assert(totalFiles == Series.toLong * MonthsPerSeries * 100)
+
+    val t0 = System.nanoTime()
+    val scan = janScan(root, "S7")
+    assert(scan.collect().length == 1000)
+    val coldMs = (System.nanoTime() - t0) / 1000000L
+    val read = PlanInspect.filesRead(scan)
+    assert(read == 100L,
+      s"pruned scan opened $read files, want 100 of $totalFiles")
+    info(s"cold listing+plan+scan over $totalFiles files: ${coldMs}ms")
+    assert(coldMs < 120000L,
+      s"listing a $totalFiles-file lake took ${coldMs}ms")
+  }
 }
