@@ -70,11 +70,20 @@ object Bench {
     // big-SF suites need scratch of the same order as the input — warn
     // loudly when the volume holding spark.local.dir starts below 2×
     // the input size, so an ENOSPC mid-suite is never a surprise
+    // spark.local.dir may legally be a comma-separated list, or a dir
+    // that doesn't exist yet (e.g. set via SPARK_GRAFT_CONF) — the guard
+    // is advisory, so probe the FIRST entry and on any failure report
+    // "plenty free" (Long.MaxValue) rather than crash the suite
+    val scratchDir = java.nio.file.Paths.get(
+      spark.sparkContext.getConf.get("spark.local.dir", "/tmp")
+        .split(",").head.trim)
+    def freeBytes(): Long =
+      try java.nio.file.Files.getFileStore(scratchDir).getUsableSpace
+      catch { case _: Exception => Long.MaxValue }
     locally {
       val inputBytes = Option(new java.io.File(sfDir).listFiles())
         .map(_.map(_.length).sum).getOrElse(0L)
-      val free = java.nio.file.Files.getFileStore(java.nio.file.Paths.get(
-        spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))).getUsableSpace
+      val free = freeBytes()
       if (free < 2L * inputBytes)
         System.err.println(f"[scratch] WARNING: ${free / 1e9}%.1f GB free < 2x input " +
           f"${inputBytes / 1e9}%.1f GB - big-output queries may exhaust scratch")
@@ -124,7 +133,11 @@ object Bench {
     // A System.gc() between queries makes each measurement start from
     // the same near-empty heap (steady-state per-query cost, which is
     // what this harness is defined to measure). SPARK_GRAFT_GC_BETWEEN=0
-    // restores the old behavior.
+    // restores the old behavior for the unconditional inter-query GC;
+    // note the scratch-floor poll below still forces GC when free space
+    // drops under the floor (that GC is what reclaims dead shuffle
+    // files) — disable the floor too (SPARK_GRAFT_MIN_FREE_GB=0) for a
+    // fully GC-free run.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0"
     // Scratch headroom (the sf100 q70 lesson): a giant-output query
     // (q43 at sf100 shuffles ~74.5 G pairs) can fill the scratch volume
@@ -138,9 +151,6 @@ object Bench {
     // reached at sf≥100, so small-SF bench timings are unaffected.
     val minFreeBytes =
       sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "12").toLong * (1L << 30)
-    val scratchDir = java.nio.file.Paths.get(
-      spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
-    def freeBytes(): Long = java.nio.file.Files.getFileStore(scratchDir).getUsableSpace
     def interQuery(): Unit = {
       graft.core.Checkpoints.freeAll()
       if (gcBetween) System.gc()
@@ -192,10 +202,21 @@ object Bench {
     // self-consistent (a reader summing the map reproduces `value` exactly);
     // failed queries (-1 markers) are excluded from the sum
     val total = math.rint(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    // Suite split (both suites stay hash-gated in CORRECTNESS): the
+    // fixture gates do real lake/stream/forked-JVM work per execution
+    // while their oracles replay arithmetic in ms — structurally
+    // asymmetric cost, so each round of new gates inflates the combined
+    // total against DuckDB even when no query got slower. Publishing
+    // both sums keeps the declarative headline comparable across rounds.
+    val gateNames = SparkEntry.gateQueries
+    def suiteSum(p: String => Boolean): Double = math.rint(results.collect {
+      case (n, v) if v >= 0 && p(n) => v }.sum * 1000) / 1000
+    val gateTotal = suiteSum(gateNames)
+    val declTotal = suiteSum(n => !gateNames(n))
     // silence logging BEFORE the summary so no shutdown WARN can print
     // after (or interleave with) the one JSON line a harness tail-parses
     spark.sparkContext.setLogLevel("OFF")
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"suite_declarative":$declTotal,"suite_gates":$gateTotal,"n_gates":${results.count(r => gateNames(r._1))},"metric":"total","value":$total,"unit":"sec"}""")
     System.out.flush()
     spark.stop()
   }

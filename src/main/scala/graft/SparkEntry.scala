@@ -32,4 +32,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Names of the fixture-gate queries (real lake/stream/forked-JVM work
+    * per execution, oracle replays arithmetic) — Bench reports their
+    * total separately from the declarative suite so the structural cost
+    * asymmetry doesn't inflate the declarative headline.
+    */
+  def gateQueries: Set[String] = allQueries.filter(_.gate).map(_.name).toSet
 }

@@ -452,5 +452,5 @@ object Extended {
   val all: Seq[Q] = Seq(
     groupingSets, mathSuite, pagination, sessionWindows, arrayOps,
     simhashPairs, qualityGate, langIdDist, annLsh, annIvf, mapOps,
-    compactionInvariance, timeTravel)
+    compactionInvariance.gated, timeTravel.gated)
 }

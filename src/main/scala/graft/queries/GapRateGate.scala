@@ -51,8 +51,13 @@ object GapRateGate {
     * responses served strictly before the feed's end (the premise
     * counters — DownloadReport's own emptyJumps/retries reset on the
     * next success, so they can't witness mid-stream faults).
+    * `feedEndTs` is fixture knowledge (the last candle's timestamp,
+    * known at build time) so classifying an empty window as mid-stream
+    * costs no extra probe — fetchOhlcv stays one-call-per-page, the
+    * call pattern a real windowed venue would see.
     */
-  private final class WindowedThrottledVenue(inner: Connector, throttleEvery: Int)
+  private final class WindowedThrottledVenue(inner: Connector, throttleEvery: Int,
+                                             feedEndTs: Long)
     extends Connector {
     override val name: String = inner.name
     var throttled = 0L
@@ -69,8 +74,7 @@ object GapRateGate {
       val tfMs = graft.core.Timeframes.toMillis(timeframe)
       val page = inner.fetchOhlcv(symbol, timeframe, sinceMs, limit)
         .filter(_.ts < sinceMs + limit.toLong * tfMs)
-      if (page.isEmpty &&
-        inner.fetchOhlcv(symbol, timeframe, sinceMs, 1).nonEmpty)
+      if (page.isEmpty && sinceMs <= feedEndTs)
         emptyMid += 1 // data exists beyond the window: a true gap page
       page
     }
@@ -97,7 +101,8 @@ object GapRateGate {
       val lake = Files.createDirectories(Paths.get(root, "lake")).toString
 
       val venue = new WindowedThrottledVenue(
-        new CsvReplayConnector(feed, "gapfeed"), throttleEvery = 4)
+        new CsvReplayConnector(feed, "gapfeed"), throttleEvery = 4,
+        feedEndTs = tsOf(ids.last))
       val flush = math.max(1, ids.length / 3) // ≥2 flushes for any ≥2-row feed
       val page = math.max(1, flush / 2)
       val cat = new graft.catalog.ManifestCatalog(s, lake)
@@ -161,5 +166,5 @@ object GapRateGate {
       .orderBy("day")
   }
 
-  val all: Seq[Q] = Seq(gapRateIngest)
+  val all: Seq[Q] = Seq(gapRateIngest).map(_.gated)
 }

@@ -180,5 +180,5 @@ object IngestGates {
       .orderBy("mon", "bucket")
   }
 
-  val all: Seq[Q] = Seq(incrementalResume, schemaEvolution)
+  val all: Seq[Q] = Seq(incrementalResume, schemaEvolution).map(_.gated)
 }

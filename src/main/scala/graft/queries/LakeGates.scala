@@ -185,5 +185,5 @@ object LakeGates {
       countParquet(root))
   }
 
-  val all: Seq[Q] = Seq(prunedRangeScan, rulePrunedScan)
+  val all: Seq[Q] = Seq(prunedRangeScan, rulePrunedScan).map(_.gated)
 }

@@ -310,5 +310,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     minhashLsh, simhashFp, docFingerprint, multimodalMeta,
     embeddingNearDup, embeddingNearDupAuto, lshBuckets, nearDupClusters,
-    incrementalMinhash)
+    incrementalMinhash.gated)
 }

@@ -165,5 +165,5 @@ object MaintenanceGate {
     data.join(cat, Seq("symbol"))
   }
 
-  val all: Seq[Q] = Seq(compactionRace)
+  val all: Seq[Q] = Seq(compactionRace).map(_.gated)
 }

@@ -198,5 +198,5 @@ object MultiWriterGate {
       .orderBy("symbol")
   }
 
-  val all: Seq[Q] = Seq(multiWriterIngest)
+  val all: Seq[Q] = Seq(multiWriterIngest).map(_.gated)
 }

@@ -14,7 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** true = fixture gate: the Spark side does real lake/stream/
+      * forked-JVM work per execution while the oracle replays arithmetic
+      * — structurally asymmetric cost, so Bench reports these as a
+      * separate suite total from the declarative queries.
+      */
+    gate: Boolean = false) {
+  def gated: Q = copy(gate = true)
+}
 
 object Q {
   def apply(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =

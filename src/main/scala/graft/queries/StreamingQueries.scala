@@ -95,5 +95,5 @@ object StreamingQueries {
     ss.table("q74_stream_sink").orderBy("bucket_ms", "event_type")
   }
 
-  val all: Seq[Q] = Seq(streamWindowAgg)
+  val all: Seq[Q] = Seq(streamWindowAgg).map(_.gated)
 }

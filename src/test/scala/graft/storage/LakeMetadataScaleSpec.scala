@@ -19,11 +19,22 @@ import java.nio.file.{Files, Path, Paths}
   * every (series, month) dir — each link IS a valid parquet data file,
   * so partition discovery, footer reads and scans are real; only the
   * bytes are shared (the CatalogScaleSpec padding trick). Timing
-  * comparisons are INFO-ONLY (min of 3 reps — single samples flake on
-  * GC/JIT noise); the hard gates are structural: files-opened from the
-  * executed FileSourceScan, row counts, and compaction file counts.
+  * COMPARISONS are INFO-ONLY (min of 3 reps — single samples flake on
+  * GC/JIT noise); the only timing ASSERTS are generous, env-overridable
+  * regime rails (see listBoundMs). The hard gates are structural:
+  * files-opened from the executed FileSourceScan, row counts, and
+  * compaction file counts.
   */
 class LakeMetadataScaleSpec extends SparkSpec {
+
+  // The latency ceilings are sanity rails against a pathological regime
+  // change (minutes, not milliseconds), generous enough for a loaded CI
+  // host — and env-overridable for hosts where even that is tight
+  // (SPARK_GRAFT_LIST_BOUND_MS); 0 disables them. The structural
+  // assertions (files opened, row counts, compaction counts) are the
+  // real gates and are never relaxed.
+  private val listBoundMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_LIST_BOUND_MS", "60000").toLong
 
   private val Series = 40
   private val MonthsPerSeries = 24 // 2022-01 .. 2023-12
@@ -125,7 +136,7 @@ class LakeMetadataScaleSpec extends SparkSpec {
     info(s"readRange listing+plan+scan, min of 3: " +
       s"${totalFiles}-file lake ${tFrag}ms vs " +
       s"${Series * MonthsPerSeries}-file lake ${tCompact}ms")
-    assert(tFrag < 60000L,
+    if (listBoundMs > 0) assert(tFrag < listBoundMs,
       s"listing a $totalFiles-file lake took ${tFrag}ms — the metadata " +
         "path has left the interactive regime")
   }
@@ -153,7 +164,7 @@ class LakeMetadataScaleSpec extends SparkSpec {
     assert(read == 100L,
       s"pruned scan opened $read files, want 100 of $totalFiles")
     info(s"cold listing+plan+scan over $totalFiles files: ${coldMs}ms")
-    assert(coldMs < 120000L,
+    if (listBoundMs > 0) assert(coldMs < 2 * listBoundMs,
       s"listing a $totalFiles-file lake took ${coldMs}ms")
   }
 }
