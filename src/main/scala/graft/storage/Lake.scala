@@ -199,9 +199,10 @@ final class LakeWriter(spark: SparkSession, root: String) {
     * never contend — disjoint lease files (the q81 model).
     */
   def writeOhlc(df: DataFrame, key: SeriesKey): WriteReport =
-    SeriesLease.withLease(root, key)(writeOhlcLocked(df, key))
+    SeriesLease.withLeaseHandle(root, key)(writeOhlcLocked(df, key, _))
 
-  private def writeOhlcLocked(df: DataFrame, key: SeriesKey): WriteReport = {
+  private def writeOhlcLocked(df: DataFrame, key: SeriesKey,
+                              lease: SeriesLease.Handle): WriteReport = {
     require(df.columns.contains("ts"), "OHLCV dataframe must contain a 'ts' column")
     val k = key.sanitized
     val incoming = withPartitionCols(df, k).withColumn("_batch", lit(1))
@@ -242,6 +243,9 @@ final class LakeWriter(spark: SparkSession, root: String) {
       .filter(col("_rn") === 1)
       .drop("_rn", "_batch")
 
+    // the merge scan above assumed exclusion — re-verify it still holds
+    // before the overwrite that would lose the race if it doesn't
+    lease.assertOwned()
     merged
       .repartition(partCols.map(col): _*)
       // partition cols lead the sort so FileFormatWriter's required

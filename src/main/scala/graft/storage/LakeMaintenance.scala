@@ -28,9 +28,10 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
     * against a forked-JVM ingest loop).
     */
   def compactSeries(key: SeriesKey, maxFiles: Int = 1): Long =
-    SeriesLease.withLease(root, key)(compactSeriesLocked(key, maxFiles))
+    SeriesLease.withLeaseHandle(root, key)(compactSeriesLocked(key, maxFiles, _))
 
-  private def compactSeriesLocked(key: SeriesKey, maxFiles: Int): Long = {
+  private def compactSeriesLocked(key: SeriesKey, maxFiles: Int,
+                                  lease: SeriesLease.Handle): Long = {
     val k = key.sanitized
 
     // scoped to the series' own directory (LakeIO.readSeriesScoped):
@@ -58,10 +59,14 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
       .map { case (y, m) => col("year") === y && col("month") === m }
       .reduce(_ || _)
 
-    // rewrite only the fragmented dirs (dynamic partition overwrite)
-    LakeIO.readSeriesScoped(spark, root, k).get
+    // rewrite only the fragmented dirs (dynamic partition overwrite);
+    // the scan assumed exclusion — re-verify before the commit that
+    // would lose a racing write if the lease was stolen
+    val scan = LakeIO.readSeriesScoped(spark, root, k).get
       .filter(monthPred)
       .localCheckpoint(true) // the write overwrites what this scan reads
+    lease.assertOwned()
+    scan
       .repartition(partCols.map(col): _*)
       // partition cols lead so the writer's required ordering is already
       // satisfied and files stay ts-sorted (see LakeWriter.writeOhlc)

@@ -98,4 +98,62 @@ class MaintenanceRaceSpec extends SparkSpec {
     assert(ran, "stale lease was not stolen")
     assert(!java.nio.file.Files.exists(lease), "lease not released")
   }
+
+  test("series lease: heartbeat keeps a slow LIVE holder protected") {
+    val root = tmpDir("leasehb")
+    val key = SeriesKey("EX", "SPOT", "HB", "raw", "1m")
+    // holder's critical section (1 s) far exceeds staleMs (200 ms) —
+    // before the heartbeat this is exactly the silent-steal window:
+    // the contender would presume the holder dead and take the lease
+    @volatile var contenderGotIn = false
+    SeriesLease.withLease(root, key, staleMs = 200L, timeoutMs = 60000L) {
+      val contender = new Thread(() =>
+        try {
+          SeriesLease.withLease(root, key, staleMs = 200L, timeoutMs = 700L) {
+            contenderGotIn = true
+          }
+        } catch { case _: java.util.concurrent.TimeoutException => () })
+      contender.start()
+      Thread.sleep(1000) // outlive staleMs 5x while the heartbeat runs
+      contender.join(5000)
+    }
+    assert(!contenderGotIn,
+      "a live holder outliving staleMs lost its lease — heartbeat not refreshing")
+  }
+
+  test("series lease: a stolen lease is detected, never deleted out from under the thief") {
+    val root = tmpDir("leasesteal")
+    val key = SeriesKey("EX", "SPOT", "ST", "raw", "1m")
+    val k = key.sanitized
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(LakeIO.seriesDir(root, k).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lease = java.nio.file.Paths.get(root, "_locks", s"$digest.lease")
+
+    val usurperToken = "pid=999999;nonce=usurper\n"
+    var detected = false
+    try {
+      SeriesLease.withLeaseHandle(root, key, staleMs = 60000L, timeoutMs = 5000L) { h =>
+        h.assertOwned() // sanity: freshly acquired
+        // simulate the steal a clock-skewed/operator-forced contender
+        // performs: delete + re-create with ITS token
+        java.nio.file.Files.write(lease, usurperToken.getBytes("UTF-8"))
+        try { h.assertOwned(); fail("assertOwned must throw after a steal") }
+        catch { case _: SeriesLease.StolenLeaseException => detected = true }
+      }
+    } catch { case _: SeriesLease.StolenLeaseException => () }
+    assert(detected, "the holder never detected the steal")
+    // ABA safety: release must NOT have deleted the usurper's lease
+    assert(java.nio.file.Files.exists(lease),
+      "release deleted the new owner's lease (lock-file ABA)")
+    assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8") == usurperToken,
+      "release mangled the new owner's lease")
+    java.nio.file.Files.delete(lease)
+  }
+
+  test("series lease: non-POSIX scheme is rejected, not mis-resolved") {
+    val key = SeriesKey("EX", "SPOT", "S", "raw", "1m")
+    intercept[UnsupportedOperationException] {
+      SeriesLease.withLease("hdfs://nn:8020/lake", key) { () }
+    }
+  }
 }
