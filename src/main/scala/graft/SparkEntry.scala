@@ -17,7 +17,8 @@ object SparkEntry {
       LlmOps.all ++ Extended.all ++ CurationOps.all ++ CorpusStatsOps.all ++
       MediaOps.all ++ StreamingQueries.all ++ IngestGates.all ++ ScaleJoinGates.all ++
       MultiWriterGate.all ++ LakeGates.all ++ MaintenanceGate.all ++
-      FeatureGate.all ++ StreamingCurationGate.all ++ GapRateGate.all
+      FeatureGate.all ++ StreamingCurationGate.all ++ GapRateGate.all ++
+      LakeAuditGate.all ++ ContinuityGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
