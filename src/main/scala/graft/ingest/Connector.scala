@@ -39,19 +39,57 @@ final case class DownloadReport(pages: Int, rows: Long, flushes: Int,
   *
   * Connector I/O is inherently driver-side (a paging HTTP loop); each
   * flush is a distributed merge-write job. At scale, many symbol loops
-  * run concurrently (the reference's thread pool), each writing disjoint
-  * partitions.
+  * run concurrently ([[downloadBulk]] — the reference's DownloadManager
+  * thread pool, `ingest.py:33-202`), each writing disjoint partitions.
+  *
+  * Every download reports through the `registry` (T6 — the reference's
+  * task registry semantics): submit at start (parking Pending when the
+  * per-exchange or total running limit is hit, resuming when a
+  * finishing job promotes it), progress after every flush, Completed /
+  * Failed at the end. One registry can be shared across loaders so the
+  * limits span all of a process's ingest loops.
   */
 final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
                               catalog: ManifestCatalog,
                               pageSize: Int = 1000, flushRows: Int = 5000,
                               maxRetries: Int = 5, maxEmptyJumps: Int = 10,
                               backoffMs: Long = 30000L,
-                              sleeper: Long => Unit = Thread.sleep) {
+                              sleeper: Long => Unit = Thread.sleep,
+                              val registry: graft.ops.JobRegistry = new graft.ops.JobRegistry()) {
+
+  /** Admission through the registry: run now, or park Pending until a
+    * finishing job's promoteNext (or freed capacity noticed by this
+    * poll) flips us to Running. Driver-side orchestration — a 10 ms
+    * poll is noise against a paging HTTP loop.
+    */
+  private def admit(jobId: String, group: String): Unit = {
+    if (registry.submit(jobId, group)) return
+    while (!registry.get(jobId).exists(_.state == graft.ops.JobStatus.Running)) {
+      registry.promoteNext(group)
+      if (!registry.get(jobId).exists(_.state == graft.ops.JobStatus.Running))
+        Thread.sleep(10)
+    }
+  }
 
   def download(conn: Connector, market: String, symbol: String, timeframe: String,
                startMs: Option[Long] = None, endMs: Long = System.currentTimeMillis())
   : DownloadReport = {
+    val jobId = s"${conn.name}/$market/$symbol/$timeframe"
+    admit(jobId, conn.name)
+    try {
+      val rep = downloadAdmitted(conn, market, symbol, timeframe, startMs, endMs, jobId)
+      registry.complete(jobId)
+      rep
+    } catch {
+      case e: Throwable =>
+        registry.fail(jobId, e.toString)
+        throw e
+    } finally registry.promoteNext(conn.name): Unit // wake the oldest parked job
+  }
+
+  private def downloadAdmitted(conn: Connector, market: String, symbol: String,
+                               timeframe: String, startMs: Option[Long], endMs: Long,
+                               jobId: String): DownloadReport = {
     val tfMs = Timeframes.toMillis(timeframe)
     val key = SeriesKey(conn.name, market, symbol, "raw", Timeframes.canonical(timeframe))
 
@@ -78,6 +116,7 @@ final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
       rows += buf.size
       upsertCatalogEntry(conn, market, symbol, timeframe, key, rep.timeFrom, rep.timeTo)
       buf.clear(); flushes += 1
+      registry.progress(jobId, rows) // progress-per-flush (ingest.py:137-160)
     }
 
     while (!done && since <= endMs) {
@@ -111,6 +150,39 @@ final class IncrementalLoader(spark: SparkSession, writer: LakeWriter,
     flush()
     DownloadReport(pages, rows, flushes, retries, emptyJumps,
       if (rows == 0) 0L else tFrom, if (rows == 0) 0L else tTo)
+  }
+
+  /** Bulk download (the reference DownloadManager's fan-out,
+    * `ingest.py:163-202`): one loop per symbol on a bounded thread
+    * pool, with the REGISTRY — not the pool — enforcing the
+    * per-exchange running limit, so excess jobs park Pending and resume
+    * in submission order as others finish. Symbols write disjoint
+    * series (disjoint leases — the q81 model), so the loops never
+    * contend on data. Returns per-symbol reports for the successes and
+    * rethrows the first failure AFTER every loop has finished (partial
+    * progress is durable: each flush committed lake + catalog, so a
+    * re-run resumes every symbol from its watermark).
+    */
+  def downloadBulk(conn: Connector, market: String, symbols: Seq[String],
+                   timeframe: String, startMs: Option[Long] = None,
+                   endMs: Long = System.currentTimeMillis(),
+                   parallelism: Int = 8): Map[String, DownloadReport] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, symbols.size)))
+    val out = new java.util.concurrent.ConcurrentHashMap[String, DownloadReport]()
+    val errs = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    try {
+      symbols.map { sym =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try out.put(sym, download(conn, market, sym, timeframe, startMs, endMs)): Unit
+            catch { case e: Throwable => errs.put(sym, e): Unit }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    if (!errs.isEmpty) throw errs.values.iterator.next()
+    import scala.jdk.CollectionConverters._
+    out.asScala.toMap
   }
 
   /** Funding-rate incremental download (S4/S8/alt data): rows
