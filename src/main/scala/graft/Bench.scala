@@ -165,13 +165,18 @@ object Bench {
           f"${freeBytes() / 1e9}%.1f GB after reap (floor ${minFreeBytes / 1e9}%.1f GB)")
       }
     }
+    // one stderr line per query execution: when a big-SF suite dies
+    // mid-warmup (OOM, wedge), the last marker names the culprit —
+    // WARN-level Spark logs carry stage ids but not query names
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        System.err.println(s"[q] warmup $name")
         runWithTimeout(s"warmup-$name", fn(spark, sfDir).count())
         interQuery()
       }
     val printCounts = sys.env.get("SPARK_GRAFT_PRINT_COUNTS").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[q] timed $name")
       val t0 = System.nanoTime()
       val ok = runWithTimeout(name, fn(spark, sfDir).count()) match {
         case Some(c) =>

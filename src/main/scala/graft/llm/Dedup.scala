@@ -242,9 +242,16 @@ object Dedup {
     * file set to bands/ and hashes/, so after many batches the probe side
     * of every future dedup is a small-files scan — the same disease
     * `LakeMaintenance.compactSeries` and q70 cure for the lake. Rewrites
-    * each subdir to ≤ `targetFiles` files, clustered on the probe key
-    * ((band, key) for bands/, doc_id for hashes/) and sorted within
-    * partitions so row groups RLE-compress and min/max prune.
+    * each subdir clustered on the probe key ((band, key) for bands/,
+    * doc_id for hashes/) and sorted within partitions so row groups
+    * RLE-compress and min/max prune. `targetFiles` is a FLOOR, not a
+    * cap: the rewrite partition count scales with the subdir's bytes
+    * (~256 MB of compressed input per task) so compacting a corpus-scale
+    * index never funnels gigabytes through one sort task — at small
+    * scale the output is exactly `targetFiles` files; at 100 TB it is
+    * size-proportional large files, which bounds the small-files count
+    * just as well (the point of compaction) while every rewrite task
+    * sorts a bounded slice.
     *
     * Same single-writer contract as the append path (see
     * [[minhashLshIncremental]]): run it between batches, not during one.
@@ -262,12 +269,11 @@ object Dedup {
     readLshMeta(spark, root) // fail fast on a non-index dir
     val (fs, _) = hadoopFs(spark, root)
 
-    def parquetFiles(dir: String): Array[org.apache.hadoop.fs.Path] = {
+    def parquetFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(p)) Array.empty
       else fs.listStatus(p)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
     }
 
     def compactDir(sub: String, schema: org.apache.spark.sql.types.StructType,
@@ -276,10 +282,16 @@ object Dedup {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
       val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
       fs.delete(tmp, true); fs.delete(trash, true) // crash leftovers
-      val before = parquetFiles(dir).length.toLong
+      val files = parquetFiles(dir)
+      val before = files.length.toLong
       if (before <= targetFiles) return (before, before)
+      // ~256 MB of compressed input per rewrite task: bounded sort
+      // memory at any index size (see the scaling note in the doc)
+      val parts = math.max(targetFiles,
+        (files.map(_.getLen).sum / (256L << 20)).toInt + 1)
+      if (parts >= before) return (before, before) // already size-proportional
       snapshotRead(spark, dir, schema)
-        .repartition(targetFiles, clusterCols.map(col): _*)
+        .repartition(parts, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
       val live = new org.apache.hadoop.fs.Path(dir)
