@@ -111,7 +111,7 @@ object ClusterCheck {
       }
       // executor liveness cross-check: a multi-process master that fell
       // back to driver-only execution would make the parity vacuous
-      val execs = spark.sparkContext.getExecutorMemoryStatus.size
+      val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
       println(s"""{"master":"$master","sf":"$sfDir","executors":$execs,""" +
         s""""results":{${results.mkString(",")}}}""")
       System.out.flush()

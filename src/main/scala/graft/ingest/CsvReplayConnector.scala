@@ -28,7 +28,12 @@ import scala.jdk.CollectionConverters._
 final class CsvReplayConnector(fixtureDir: String,
                                override val name: String = "csvreplay") extends Connector {
 
-  private val cache = scala.collection.mutable.Map.empty[String, Vector[Candle]]
+  // ConcurrentHashMap, not mutable.Map: downloadBulk drives one shared
+  // connector from a thread pool, and a racing getOrElseUpdate on a
+  // plain HashMap can corrupt it mid-resize (worst case: an infinite
+  // loop inside the bulk download). computeIfAbsent gives one load per
+  // symbol with safe publication.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Vector[Candle]]()
 
   private def path(symbol: String, suffix: String): Path =
     Paths.get(fixtureDir, s"${Symbols.sanitize(symbol)}$suffix")
@@ -43,7 +48,7 @@ final class CsvReplayConnector(fixtureDir: String,
   }
 
   private def load(symbol: String): Vector[Candle] =
-    cache.getOrElseUpdate(Symbols.sanitize(symbol),
+    cache.computeIfAbsent(Symbols.sanitize(symbol), _ =>
       dataLines(path(symbol, ".csv")).map { f =>
         Candle(f(0).toLong, f(1).toDouble, f(2).toDouble,
           f(3).toDouble, f(4).toDouble, f(5).toDouble)

@@ -68,6 +68,12 @@ private[storage] object LakeIO {
     * A clone's conf is immutable-after-init here, so concurrent reads
     * are trivially safe; builder-level confs (shuffle partitions, split
     * sizes, timezone) live in the SparkConf and are inherited.
+    *
+    * Size bound: one clone per LIVE caller session — entries whose
+    * SparkContext has stopped are reaped on every lookup, and a clone
+    * is a conf holder on the shared context, not a second context, so
+    * even a session-churning caller holds O(live sessions) small
+    * objects, never accumulating JVM-lifetime state.
     */
   private val ioSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
