@@ -18,7 +18,8 @@ object SparkEntry {
       MediaOps.all ++ StreamingQueries.all ++ IngestGates.all ++ ScaleJoinGates.all ++
       MultiWriterGate.all ++ LakeGates.all ++ MaintenanceGate.all ++
       FeatureGate.all ++ StreamingCurationGate.all ++ GapRateGate.all ++
-      LakeAuditGate.all ++ ContinuityGate.all ++ BulkIngestGate.all
+      LakeAuditGate.all ++ ContinuityGate.all ++ BulkIngestGate.all ++
+      SketchOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

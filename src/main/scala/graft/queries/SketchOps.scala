@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.storage.BloomJoin
+
+/** Sketch-backed scale operators (SURVEY §2.10 / LLM-pipeline surface):
+  * probabilistic structures that replace a non-broadcastable exact
+  * key-set (bloom) or a full rescan (HLL) with a fixed-size, mergeable,
+  * broadcastable artifact — the data structures a 100 TB crawl-ingest
+  * loop actually runs on.
+  *
+  * Both queries gate the sketch machinery with `require`d premises and
+  * return EXACT arithmetic the DuckDB oracle replays — a sketch with a
+  * false negative, a blown fp bound, or a union that loses state is a
+  * red CORRECTNESS row, not a quiet quality drift.
+  */
+object SketchOps {
+
+  /** q91: bloom-pruned anti join — "which crawled docs are NOT in the
+    * already-ingested corpus" without shuffling the full probe side.
+    * The corpus here is the deterministic blocklist doc_id ≡ 0 (mod 37)
+    * so the oracle is plain SQL. Premises, measured in ONE extra
+    * aggregate pass:
+    *   - zero false negatives: every member probes true (the contract
+    *     that makes the anti-join bypass sound);
+    *   - the filter really prunes: observed fp count within 4× the
+    *     requested fpp (+ small-corpus slack) — a filter that answers
+    *     "maybe" for everything would pass correctness but do no work.
+    * The declared result is the exact anti join (the maybe-set pass
+    * kills every false positive), aggregated per language.
+    */
+  val bloomPruneJoin: Q = Q(
+    "q91_bloom_prune_join",
+    """SELECT lang,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id % 37 <> 0
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val member = col("doc_id") % 37 === 0
+    val blocklist = docs.filter(member).select(col("doc_id"))
+    val fpp = 0.01
+    val expected = math.max(64L, blocklist.count())
+    val bloom = BloomJoin.buildBroadcast(blocklist, "doc_id", expected, fpp)
+
+    val maybe = BloomJoin.mightContain(col("doc_id"), bloom)
+    val p = docs.agg(
+      count(lit(1)).as("total"),
+      coalesce(sum(when(member, 1L)), lit(0L)).as("members"),
+      coalesce(sum(when(member && !maybe, 1L)), lit(0L)).as("false_neg"),
+      coalesce(sum(when(!member && maybe, 1L)), lit(0L)).as("false_pos")).head()
+    val (total, members, falseNeg, falsePos) =
+      (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+    require(members >= 1, s"q91 premise: degenerate fixture, no members ($total rows)")
+    require(falseNeg == 0L,
+      s"q91 premise: bloom false negative — the anti-join bypass is unsound ($falseNeg)")
+    require(falsePos <= (4 * fpp * (total - members)).toLong + 8,
+      s"q91 premise: fp count $falsePos blows the ${fpp} bound over " +
+        s"${total - members} non-members — the filter isn't pruning")
+
+    BloomJoin.antiJoin(docs, blocklist, "doc_id", bloom)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** q92: mergeable HLL corpus cardinality — per-shard sketches built
+    * independently (the per-ingest-batch artifact), merged with
+    * `hll_union_agg` and compared against BOTH a direct whole-corpus
+    * sketch and the exact distinct count. At 100 TB this is how "how
+    * many unique documents do we have" stays O(shards · sketch bytes)
+    * per refresh instead of a corpus rescan: each ingest writes its
+    * shard's sketch; the union answers globally. Premises: the merged
+    * estimate and the direct estimate each land within 5% of exact, and
+    * within 2% of each other (a union that loses shard state diverges
+    * from the direct sketch long before it leaves the 5% band).
+    * Declared result is exact per-language arithmetic for the oracle.
+    */
+  val hllCorpusStats: Q = Q(
+    "q92_hll_corpus_stats",
+    """SELECT lang,
+      |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+      |       COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val shardSketches = docs
+      .groupBy((col("doc_id") % 8).as("shard"))
+      .agg(hll_sketch_agg(col("text")).as("sk"))
+    val merged = shardSketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head().getLong(0)
+    val direct = docs
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est")).head().getLong(0)
+    val exact = docs.agg(count_distinct(col("text"))).head().getLong(0)
+    def within(a: Long, b: Long, tol: Double): Boolean =
+      math.abs(a - b) <= math.max(1L, (tol * b).toLong)
+    require(within(merged, exact, 0.05),
+      s"q92 premise: merged-shard HLL estimate $merged off exact $exact by >5%")
+    require(within(direct, exact, 0.05),
+      s"q92 premise: direct HLL estimate $direct off exact $exact by >5%")
+    require(within(merged, direct, 0.02),
+      s"q92 premise: shard union $merged diverges from direct sketch $direct — lost state")
+
+    docs.groupBy(col("lang"))
+      .agg(count_distinct(col("text")).cast("long").as("n_unique"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(bloomPruneJoin, hllCorpusStats)
+}
