@@ -51,6 +51,11 @@ object ClusterCheck {
     "q56_embedding_quantize", "q60_sequence_packing",
     "q63_exists_subquery", "q66_split_assign", "q68_asof_join",
     "q78_bucketed_join", "q79_salted_skew_join",
+    // q91: BloomMightContain holds a Broadcast INSIDE an Expression —
+    // the handle must round-trip task serialization and the filter
+    // bytes must arrive via the broadcast machinery in a separate JVM;
+    // q92: datasketches HLL buffers shuffled between processes
+    "q91_bloom_prune_join", "q92_hll_corpus_stats",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on
