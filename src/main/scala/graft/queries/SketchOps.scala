@@ -113,5 +113,89 @@ object SketchOps {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(bloomPruneJoin, hllCorpusStats)
+  /** q93: the PERSISTED incremental bloom — the crawl-dedup ingest loop
+    * end-to-end. Three batches arrive (batch2 re-crawls a third of
+    * batch1; batch3 is ALL re-crawl): each loads the latest published
+    * `bloom.{seq}.bin`, bloom-anti-joins against the ingested corpus
+    * (definite misses bypass; the maybe set takes the exact pass),
+    * appends only the truly-new rows, unions its own filter into the
+    * artifact and atomically publishes the next version. Premises:
+    *   - batch2 ingests EXACTLY its genuinely-new rows (the overlap is
+    *     fully dropped, nothing new is lost);
+    *   - batch3 ingests ZERO rows (the unioned artifact remembers both
+    *     prior batches — a union that loses bits re-ingests);
+    *   - version seq advanced per publish and reloads round-trip.
+    * Per-cycle cost is O(new batch) + one fixed-size artifact write;
+    * the corpus is never rescanned to rebuild the filter. Declared
+    * query reads the ingested corpus back with batch provenance; the
+    * oracle rebuilds both batches arithmetically.
+    */
+  val incrementalBloomDedup: Q = Q(
+    "q93_incremental_bloom_dedup",
+    """SELECT CAST(doc_id % 3 < 2 AS INT) AS from_batch1,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = graft.core.SessionTempRoots.of(s, d, "graft_bloomidx_") { root =>
+      val docs = Tables.documents(s, d)
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+      val bloomDir = s"$root/bloom"
+      val corpusDir = s"$root/corpus"
+      // geometry sized ONCE for the target corpus; every batch filter
+      // reuses it so versions stay union-compatible
+      val expected = math.max(64L, Tables.documents(s, d).count())
+      val fpp = 0.01
+
+      def corpus() = s.read.parquet(corpusDir)
+      def ingest(batch: org.apache.spark.sql.DataFrame, tag: Int): Long = {
+        val newRows = BloomJoin.loadLatest(s, bloomDir) match {
+          case None => batch // first batch: empty corpus
+          case Some((_, bloom)) =>
+            BloomJoin.antiJoin(batch, corpus().select(col("doc_id")), "doc_id", bloom)
+        }
+        val staged = newRows.select(cols: _*).withColumn("ingest_batch", lit(tag))
+        staged.write.mode("append").parquet(corpusDir)
+        val n = corpus().filter(col("ingest_batch") === tag).count()
+        // build over what this batch OFFERED (ids it has seen), not
+        // just what was new — re-crawled ids must stay in the filter
+        val bytes = BloomJoin.buildBytes(batch.select(col("doc_id")),
+          "doc_id", expected, fpp)
+        val batchBloom = BloomJoin.loadLatest(s, bloomDir) match {
+          case None => bytes
+          case Some((_, prev)) => BloomJoin.union(prev.value, bytes)
+        }
+        BloomJoin.saveVersion(bloomDir, batchBloom)
+        n
+      }
+
+      val batch1 = docs.filter(col("doc_id") % 3 < 2)
+      val batch2 = docs.filter(col("doc_id") % 3 >= 1) // overlap: %3 == 1
+      val batch3 = docs.filter(col("doc_id") % 3 =!= 1) // ALL already ingested
+      val (c1, c2, c3) = (docs.filter(col("doc_id") % 3 < 2).count(),
+        docs.filter(col("doc_id") % 3 === 2).count(),
+        0L)
+      val n1 = ingest(batch1, 1)
+      require(n1 == c1, s"q93 premise: batch1 must ingest all its rows ($n1 vs $c1)")
+      val n2 = ingest(batch2, 2)
+      require(n2 == c2,
+        s"q93 premise: batch2 must ingest exactly its new rows ($n2 vs $c2) — " +
+          "overlap dropped, nothing new lost")
+      val n3 = ingest(batch3, 3)
+      require(n3 == c3,
+        s"q93 premise: batch3 is all re-crawl, must ingest zero rows ($n3)")
+      val seq = BloomJoin.loadLatest(s, bloomDir).map(_._1).getOrElse(0L)
+      require(seq == 3L, s"q93 premise: three publishes must yield seq 3 ($seq)")
+    }
+    s.read.parquet(s"$root/corpus")
+      .groupBy((col("ingest_batch") === 1).cast("int").as("from_batch1"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("from_batch1"))
+  }
+
+  val all: Seq[Q] = Seq(bloomPruneJoin, hllCorpusStats) ++
+    Seq(incrementalBloomDedup).map(_.gated)
 }

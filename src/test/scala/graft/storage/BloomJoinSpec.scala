@@ -68,4 +68,33 @@ class BloomJoinSpec extends SparkSpec {
     assert(BloomJoin.semiJoin(withNull, small, "k", b2).count() ==
       withNull.join(small.select("k"), Seq("k"), "left_semi").count())
   }
+
+  test("persisted artifact: versioned publish, union keeps both batches, racers split seqs") {
+    val root = java.nio.file.Files.createTempDirectory("bloomart").toString
+    try {
+      val a = keyed(500, 3) // multiples of 3
+      val b = keyed(500, 7) // multiples of 7
+      val bytesA = BloomJoin.buildBytes(a, "k", 2000, 0.01)
+      val bytesB = BloomJoin.buildBytes(b, "k", 2000, 0.01)
+      assert(BloomJoin.saveVersion(root, bytesA) == 1L)
+      val merged = BloomJoin.union(
+        BloomJoin.loadLatest(spark, root).get._2.value, bytesB)
+      assert(BloomJoin.saveVersion(root, merged) == 2L)
+      val (seq, bloom) = BloomJoin.loadLatest(spark, root).get
+      assert(seq == 2L)
+      // union remembers BOTH batches: every member of a and b probes true
+      val probe = BloomJoin.mightContain(col("k"), bloom)
+      assert(a.unionByName(b).filter(!probe).count() == 0)
+      // geometry mismatch is a loud error, not silent corruption
+      val other = BloomJoin.buildBytes(a, "k", 64, 0.1)
+      intercept[Exception](BloomJoin.union(merged, other))
+      // concurrent publishers: every writer wins a DISTINCT seq
+      val seqs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val threads = (1 to 8).map(_ => new Thread(() => {
+        seqs.add(BloomJoin.saveVersion(root, bytesA)): Unit
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(seqs.size == 8 && !seqs.contains(1L) && !seqs.contains(2L))
+    } finally graft.core.PathWalk.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
