@@ -1,0 +1,139 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.dec
+import graft.core.{MonthKeys, PlanInspect, SessionTempRoots}
+import graft.storage.{FileStatsIndex, LakeWriter, SeriesKey}
+
+/** q94: zone-map FILE SKIPPING under the oracle (SURVEY §2.1 S1 / §2.2
+  * P1 — the scan-planning dimension month pruning cannot cover). The
+  * lake's month dirs prune `ts`; this gate proves a value predicate on a
+  * DIFFERENT clustered column (an ingest sequence number) prunes the
+  * file list through the persisted [[FileStatsIndex]] — no `ts` bound
+  * appears anywhere in the query, so every month survives partition
+  * pruning and only the stats index can keep the scan from opening all
+  * 24 files.
+  *
+  * Fixture (once per session + data dir, through the PRODUCTION writer):
+  * the `click` events are ranked by (ts, event_id) and re-timestamped
+  * onto a 24-month timeline exactly as the q82/q83 lake
+  * (`ts' = T0 + seq·(SPAN div n)`, injective by construction); the rank
+  * itself is written as data column `seq` — so each monthly file holds
+  * one contiguous `seq` band, the shape any append-ordered ingest
+  * produces for free. The stats index is built incrementally and
+  * `require`d to be: non-empty, and a STEADY-STATE NO-OP on the second
+  * update (0 new files scanned — the O(new files) contract).
+  *
+  * The declared query asks for the middle quarter of the corpus by
+  * `seq BETWEEN n/4 AND n/2` (bounds derived from COUNT so one static
+  * oracle SQL replays them at every SF). `require`d per execution:
+  *   - the decision is TIGHT: survivors == exactly the files of the
+  *     months the seq range maps into (computed independently from the
+  *     re-timestamp arithmetic);
+  *   - something was actually skipped (survivors < live files);
+  *   - the EXECUTED scan opened no more files than the survivor list.
+  * A regression in stats collection, the skip decision, or the
+  * planned-paths read is a red CORRECTNESS row, not a slowdown.
+  */
+object StatsSkipGate {
+
+  private val T0 = 1672531200000L  // 2023-01-01T00:00:00Z (the q82 lake epoch)
+  private val Span = 63072000000L  // 730 days → 24 month partitions
+
+  private final case class Fixture(lakeRoot: String, indexRoot: String,
+                                   seriesDir: String)
+
+  private def fixture(s: org.apache.spark.sql.SparkSession, d: String): Fixture = {
+    val root = SessionTempRoots.of(s, d, "graft_statsidx_") { root =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+      val spread = clicks
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("ts", expr(s"${T0}L + seq * (${Span}L div n)"))
+        .select(col("ts"), col("seq"), col("user_id"), col("value"))
+      val lakeRoot = s"$root/lake"
+      val rep = new LakeWriter(s, lakeRoot)
+        .writeTicks(spread, SeriesKey("X", "M", "CLICK", "ticks", "tick"))
+      require(rep.rows > 0 && rep.monotonic,
+        s"q94 premise: series must be non-empty with unique ordered ts " +
+          s"(rows=${rep.rows}, monotonic=${rep.monotonic})")
+      val idx = s"$root/statsidx"
+      FileStatsIndex.init(s, idx, Seq("seq"))
+      val first = FileStatsIndex.update(s, lakeRoot, idx)
+      require(first >= 1, s"q94 premise: first stats update must index files ($first)")
+      val second = FileStatsIndex.update(s, lakeRoot, idx)
+      require(second == 0,
+        s"q94 premise: steady-state stats update must scan 0 new files ($second)")
+    }
+    Fixture(s"$root/lake", s"$root/statsidx",
+      s"$root/lake/exchange=X/market=M/symbol=CLICK/type=ticks/period=tick")
+  }
+
+  /** Parquet files under the series whose month dir falls inside
+    * [keyLo, keyHi] (yyyy*100+mm keys) — the independent prediction the
+    * survivor list must match exactly.
+    */
+  private def filesInMonths(seriesDir: String, keyLo: Long, keyHi: Long): Long = {
+    val Part = """.*/year=(\d+)/month=(\d+)/.*\.parquet$""".r
+    graft.core.PathWalk.walk(Paths.get(seriesDir))(_.count(_.toString match {
+      case Part(y, m) => val k = y.toLong * 100L + m.toLong; k >= keyLo && k <= keyHi
+      case _ => false
+    }).toLong)
+  }
+
+  val statsSkipScan: Q = Q(
+    "q94_stats_skipping",
+    s"""WITH base AS (
+       |  SELECT user_id, value,
+       |         ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS seq,
+       |         COUNT(*) OVER () AS n
+       |  FROM events WHERE event_type = 'click')
+       |SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       |       COUNT(*) AS n_rows,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       |       CAST(MIN(seq) AS BIGINT) AS min_seq,
+       |       CAST(MAX(seq) AS BIGINT) AS max_seq
+       |FROM base
+       |WHERE seq BETWEEN (n // 4) AND (n // 2)
+       |GROUP BY user_bucket
+       |ORDER BY user_bucket""".stripMargin) { (s, d) =>
+    val fx = fixture(s, d)
+    val n = Tables.events(s, d).filter(col("event_type") === "click").count()
+    require(n >= 4, s"q94 premise: degenerate fixture, $n click events")
+    val (sLo, sHi) = (n / 4, n / 2)
+
+    val (df, decision) = FileStatsIndex.readWhere(
+      s, fx.seriesDir, fx.lakeRoot, fx.indexRoot, "seq", sLo, sHi)
+    val step = Span / n
+    val expected = filesInMonths(fx.seriesDir,
+      MonthKeys.monthKey(T0 + sLo * step), MonthKeys.monthKey(T0 + sHi * step))
+    require(decision.kept.size.toLong == expected,
+      s"q94: skip decision kept ${decision.kept.size} files, the seq range maps " +
+        s"into months holding $expected — stats or decision drifted")
+    require(decision.skipped > 0,
+      s"q94: nothing skipped (${decision.total} files) — the index did no work")
+
+    val agg = df
+      .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+      .groupBy("user_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        min(col("seq")).cast("long").as("min_seq"),
+        max(col("seq")).cast("long").as("max_seq"))
+      .orderBy("user_bucket")
+    agg.collect()
+    val read = PlanInspect.filesRead(agg)
+    require(read <= decision.kept.size.toLong,
+      s"q94: executed scan opened $read files > the ${decision.kept.size} survivors — " +
+        "the skipping read is not planning over the pruned list")
+    agg
+  }
+
+  val all: Seq[Q] = Seq(statsSkipScan).map(_.gated)
+}

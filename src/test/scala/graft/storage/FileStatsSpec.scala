@@ -1,0 +1,152 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Zone-map file-skipping index (q94's machinery): stats correctness,
+  * the O(new files) incremental contract, and — the load-bearing part —
+  * the ADVISORY safety contract: an unindexed or stale-indexed file is
+  * always read, so the index can only ever skip work, never rows.
+  */
+class FileStatsSpec extends SparkSpec {
+
+  private def writeLake(root: String, months: Int = 6): SeriesKey = {
+    val key = SeriesKey("EX", "SPOT", "SYM", "ticks", "tick")
+    import spark.implicits._
+    // month m (Jan..) holds seq in [m*100, m*100+99], one file per month
+    val rows = (0 until months).flatMap { m =>
+      val t0 = java.time.YearMonth.of(2023, m + 1)
+        .atDay(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      (0 until 100).map(i => (t0 + i * 60000L, (m * 100 + i).toLong, i.toDouble))
+    }
+    new LakeWriter(spark, root).writeTicks(
+      rows.toDF("ts", "seq", "v"), key)
+    key
+  }
+
+  private def seriesDir(root: String): String =
+    s"$root/exchange=EX/market=SPOT/symbol=SYM/type=ticks/period=tick"
+
+  test("per-file stats match direct computation; update is incremental") {
+    val root = tmpDir("fstats")
+    writeLake(root, months = 6)
+    val idx = tmpDir("fstatsidx")
+    FileStatsIndex.init(spark, idx, Seq("seq"))
+    assert(FileStatsIndex.update(spark, seriesDir(root), idx) == 6L)
+    assert(FileStatsIndex.update(spark, seriesDir(root), idx) == 0L, "steady-state no-op")
+
+    val stats = spark.read.parquet(s"$idx/stats")
+    assert(stats.count() == 6)
+    // every file's band is [m*100, m*100+99] with 100 rows, no nulls
+    val bands = stats.select("min_v", "max_v", "n_rows", "n_nulls")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(bands.zipWithIndex.forall { case ((lo, hi, n, nn), m) =>
+      lo == m * 100L && hi == m * 100L + 99L && n == 100L && nn == 0L
+    }, bands.mkString(","))
+
+    // a 7th month appears: only IT is indexed by the next update
+    import spark.implicits._
+    val t0 = java.time.YearMonth.of(2023, 7)
+      .atDay(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    new LakeWriter(spark, root).writeTicks(
+      (0 until 50).map(i => (t0 + i * 60000L, (600 + i).toLong, 0.0))
+        .toDF("ts", "seq", "v"),
+      SeriesKey("EX", "SPOT", "SYM", "ticks", "tick"))
+    assert(FileStatsIndex.update(spark, seriesDir(root), idx) == 1L)
+    assert(spark.read.parquet(s"$idx/stats").count() == 7)
+  }
+
+  test("skip decision: exact bands, parity with full scan, something skipped") {
+    val root = tmpDir("fstats")
+    writeLake(root, months = 6)
+    val idx = tmpDir("fstatsidx")
+    FileStatsIndex.init(spark, idx, Seq("seq"))
+    FileStatsIndex.update(spark, seriesDir(root), idx)
+
+    for ((lo, hi, files) <- Seq((150L, 340L, 3L), (0L, 99L, 1L), (599L, 999L, 1L),
+      (700L, 900L, 0L), (0L, 599L, 6L))) {
+      val d = FileStatsIndex.skipFiles(spark, seriesDir(root), idx, "seq", lo, hi)
+      assert(d.kept.size.toLong == files && d.total == 6L,
+        s"[$lo,$hi] kept ${d.kept.size}, want $files")
+      val (df, _) = FileStatsIndex.readWhere(
+        spark, seriesDir(root), root, idx, "seq", lo, hi)
+      val full = spark.read.parquet(root).filter(col("seq").between(lo, hi))
+      assert(df.select("seq").collect().map(_.getLong(0)).sorted.toSeq ==
+        full.select("seq").collect().map(_.getLong(0)).sorted.toSeq)
+    }
+  }
+
+  test("advisory safety: unindexed and stale-after-compaction files are always read") {
+    val root = tmpDir("fstats")
+    val key = writeLake(root, months = 3)
+    val idx = tmpDir("fstatsidx")
+    FileStatsIndex.init(spark, idx, Seq("seq"))
+    FileStatsIndex.update(spark, seriesDir(root), idx)
+
+    // a new month lands but the index is NOT refreshed: its rows must
+    // still surface (unknown file ⇒ kept), even though its band lies
+    // outside what a stale skipper would keep
+    import spark.implicits._
+    val t0 = java.time.YearMonth.of(2023, 4)
+      .atDay(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    new LakeWriter(spark, root).writeTicks(
+      (0 until 10).map(i => (t0 + i * 60000L, (300 + i).toLong, 0.0))
+        .toDF("ts", "seq", "v"), key)
+    val (df, d) = FileStatsIndex.readWhere(
+      spark, seriesDir(root), root, idx, "seq", 300L, 309L)
+    assert(df.count() == 10L, "unindexed file's rows lost")
+    assert(d.kept.size >= 1)
+
+    // compaction rewrites every file: the index now points at vanished
+    // paths only — every LIVE file is unknown ⇒ kept ⇒ full correctness
+    new LakeMaintenance(spark, root).compactSeries(key, maxFiles = 0)
+    val (df2, d2) = FileStatsIndex.readWhere(
+      spark, seriesDir(root), root, idx, "seq", 0L, 50L)
+    assert(df2.count() == 51L, "stale index dropped rows after compaction")
+    assert(d2.skipped == 0L, "stale index must not skip unknown files")
+    // refresh: live files re-indexed, skipping resumes
+    assert(FileStatsIndex.update(spark, seriesDir(root), idx) >= 1L)
+    val d3 = FileStatsIndex.skipFiles(spark, seriesDir(root), idx, "seq", 0L, 50L)
+    assert(d3.skipped > 0L, "refreshed index should skip non-overlapping files")
+  }
+
+  test("all-NULL column file is skippable; BETWEEN never selects nulls") {
+    val root = tmpDir("fstats")
+    import spark.implicits._
+    val key = SeriesKey("EX", "SPOT", "NULLS", "ticks", "tick")
+    new LakeWriter(spark, root).writeTicks(
+      Seq((1672531200000L, Some(1L)), (1672531260000L, Some(2L)))
+        .toDF("ts", "seq"), key)
+    new LakeWriter(spark, root).writeTicks(
+      Seq((1675209600000L, None: Option[Long]), (1675209660000L, None: Option[Long]))
+        .toDF("ts", "seq"), key)
+    val dir = s"$root/exchange=EX/market=SPOT/symbol=NULLS/type=ticks/period=tick"
+    val idx = tmpDir("fstatsidx")
+    FileStatsIndex.init(spark, idx, Seq("seq"))
+    FileStatsIndex.update(spark, dir, idx)
+    val d = FileStatsIndex.skipFiles(spark, dir, idx, "seq", 1L, 10L)
+    assert(d.total == 2L && d.kept.size == 1L,
+      s"all-null file should be skipped (kept=${d.kept.size})")
+    val (df, _) = FileStatsIndex.readWhere(spark, dir, root, idx, "seq", 1L, 10L)
+    assert(df.count() == 2L)
+  }
+
+  test("init is create-exclusive; non-integral columns rejected") {
+    val idx = tmpDir("fstatsidx")
+    FileStatsIndex.init(spark, idx, Seq("seq"))
+    intercept[Exception] { FileStatsIndex.init(spark, idx, Seq("seq")) }
+
+    val root = tmpDir("fstats")
+    import spark.implicits._
+    new LakeWriter(spark, root).writeTicks(
+      Seq((1672531200000L, 1.5)).toDF("ts", "v"),
+      SeriesKey("EX", "SPOT", "SYM", "ticks", "tick"))
+    val idx2 = tmpDir("fstatsidx")
+    FileStatsIndex.init(spark, idx2, Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      FileStatsIndex.update(spark, seriesDir(root), idx2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+}
