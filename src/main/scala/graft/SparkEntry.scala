@@ -19,7 +19,7 @@ object SparkEntry {
       MultiWriterGate.all ++ LakeGates.all ++ MaintenanceGate.all ++
       FeatureGate.all ++ StreamingCurationGate.all ++ GapRateGate.all ++
       LakeAuditGate.all ++ ContinuityGate.all ++ BulkIngestGate.all ++
-      SketchOps.all ++ StatsSkipGate.all
+      SketchOps.all ++ StatsSkipGate.all ++ SemanticOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -64,7 +64,10 @@ object IvfSearch {
       struct((fdot(col(embCol), array(c.map(lit(_)): _*)) / norm).as("s"),
         lit(-k).as("nk"))
     }
-    df.withColumn("cluster", (-greatest(scored.toSeq: _*).getField("nk")).cast("int"))
+    // greatest() requires ≥2 args — a 1-cluster quantizer (degenerate but
+    // legal: hash seeding can leave one survivor) assigns trivially
+    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    df.withColumn("cluster", (-best.getField("nk")).cast("int"))
   }
 
   /** Deterministic 60-bit md5 hash of the id (cross-engine: DuckDB
@@ -235,8 +238,13 @@ object IvfSearch {
     * norm = sequential double fold), probe/rank scores are full cosine,
     * Lloyd means are floor(v·2^20) BIGINT sums divided once.
     */
-  def duckOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
-                 queryPred: String = "vec_id < 5"): String = {
+  /** WITH-fragment replaying the index BUILD alone (seeds → `iters`
+    * Lloyd rounds → an `idx(vec_id, embedding, cluster)` relation) —
+    * shared by [[duckOracle]] and any oracle that composes on top of a
+    * deterministic IVF assignment (q95 semantic dedup). Caller splices
+    * it as `WITH $fragment, ...`.
+    */
+  def duckIndexCtes(k: Int, iters: Int): String = {
     val seed =
       s"""SELECT s.cluster, e.embedding AS centroid FROM (
          |  SELECT (${TextHash.duckMd5Long("vec_id::VARCHAR")} % $k) AS cluster,
@@ -273,9 +281,14 @@ object IvfSearch {
     }
     val finalCents = if (iters == 0) "seeds" else s"cent$iters"
 
-    s"""WITH seeds AS ($seed),
-       |${lloydCtes.mkString(",\n")},
-       |idx AS (${assignSql(finalCents)}),
+    (s"seeds AS ($seed)" +: lloydCtes :+ s"idx AS (${assignSql(finalCents)})")
+      .mkString(",\n")
+  }
+
+  def duckOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
+                 queryPred: String = "vec_id < 5"): String = {
+    val finalCents = if (iters == 0) "seeds" else s"cent$iters"
+    s"""WITH ${duckIndexCtes(k, iters)},
        |probes AS (
        |  SELECT q_id, q_emb, cluster FROM (
        |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cluster,

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{IvfSearch, SemanticDedup}
+
+/** q95: semantic dedup (SemDeDup) under the oracle — the embedding-space
+  * dedup pass a training pipeline runs AFTER n-gram dedup, catching
+  * paraphrases and re-encodes that share no shingles. The whole pipeline
+  * is deterministic composition of already-gated parts (q49's md5-seeded
+  * integer-Lloyd k-means, q43's cosine arithmetic, q55's min-label
+  * components), so ONE static SQL replays it end to end: a drifted
+  * centroid, a lost pair, or a wrong keep-choice is a hash mismatch.
+  *
+  * "Duplicate group" is a TRUE connected component of the within-cluster
+  * τ-similarity graph: the Spark side iterates min-label/pointer-jump to
+  * full convergence ([[SemanticDedup.dedup]]), the oracle replays full
+  * convergence with a recursive CTE (min-reachable-id closure) — no
+  * fixed round count to keep in sync, because none is scale-safe: the
+  * driver corpus at τ=0.35 sits near the percolation threshold (avg
+  * degree ~1.2, long chains; measured labels still moving after 12
+  * pointer-jump rounds at sf0.1). The recursive closure is the ORACLE
+  * side only — O(component²) label pairs in the worst case, fine at
+  * replay scale; the Spark side stays O(edges · log diameter).
+  */
+object SemanticOps {
+
+  private val K = 8
+  private val Iters = 1
+  private val Tau = 0.35
+
+  private def duckNorm(e: String): String =
+    s"sqrt(list_aggregate(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+
+  val semanticDedup: Q = Q(
+    "q95_semantic_dedup",
+    s"""WITH RECURSIVE ${IvfSearch.duckIndexCtes(K, Iters)},
+       |bn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cluster, ${duckNorm("embedding")} AS nrm
+       |  FROM idx),
+       |edges AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bn a JOIN bn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $Tau),
+       |edgesu AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM edges
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT x AS id, x AS label FROM edgesu
+       |  UNION
+       |  SELECT e.x AS id, l.label FROM lab l JOIN edgesu e ON e.y = l.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(label) AS label FROM lab GROUP BY id)
+       |  WHERE id <> label)
+       |SELECT CAST(i.cluster AS BIGINT) AS ivf_cluster,
+       |       COUNT(*) AS n_members,
+       |       CAST(COUNT(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids
+       |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val annotated = SemanticDedup.dedup(Tables.embeddings(s, d), K, Iters, Tau)
+    val p = annotated.agg(count(lit(1)).as("total"),
+      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
+    val (total, dropped) = (p.getLong(0), p.getLong(1))
+    // how much is dropped depends on the corpus's similarity regime
+    // (sparse chains on the driver data, dense blobs on Gaussian-cluster
+    // synthetics) — the machinery premise is only that dedup DID work;
+    // component convergence is guaranteed by the fixed-point iteration
+    require(dropped >= 1 && dropped < total,
+      s"q95 premise: semantic dedup dropped $dropped of $total — no work done")
+    annotated
+      .groupBy(col("ivf_cluster").cast("long").as("ivf_cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
+      .orderBy("ivf_cluster")
+  }
+
+  val all: Seq[Q] = Seq(semanticDedup)
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup machinery (q95): within-cluster pair recall vs brute force,
+  * keep-exactly-one-per-component semantics, and convergence on the long
+  * chains that break any fixed round count.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private def vecs(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Unit vector at `angle` in the (i,j) plane of a 4-dim space. */
+  private def planeVec(angle: Double, i: Int = 0, j: Int = 1): Seq[Float] = {
+    val v = Array.fill(4)(0.0f)
+    v(i) = math.cos(angle).toFloat
+    v(j) = math.sin(angle).toFloat
+    v.toSeq
+  }
+
+  test("within-cluster pairs match brute force restricted to same cluster") {
+    val rnd = new scala.util.Random(7)
+    val corpus = vecs((0L until 60L).map(id =>
+      id -> Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val cents = IvfSearch.trainCentroids(corpus, k = 4, iters = 1)
+    val idx = IvfSearch.buildIndex(corpus, cents)
+    val tau = 0.2
+    val got = SemanticDedup.semanticPairs(idx, tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force: all pairs, same cluster, cosine >= tau
+    val rows = idx.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+      r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (ia, ea, ca) <- rows; (ib, eb, cb) <- rows
+      if ia < ib && ca == cb && cos(ea, eb) >= tau
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+  }
+
+  test("keep = exactly the min id of every duplicate component; singletons kept") {
+    // one tight trio (0,1,2), one pair (10,11), singletons 20/21 — all in
+    // one IVF cluster (k=1 forces it)
+    val corpus = vecs(Seq(
+      0L -> planeVec(0.00), 1L -> planeVec(0.01), 2L -> planeVec(0.02),
+      10L -> planeVec(1.20), 11L -> planeVec(1.21),
+      20L -> planeVec(2.60), 21L -> planeVec(-2.60)))
+    val ann = SemanticDedup.dedup(corpus, k = 1, iters = 0, tau = 0.99)
+    val kept = ann.filter(col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 20L, 21L), kept.toSeq.sorted.mkString(","))
+    assert(ann.count() == 7)
+  }
+
+  test("long chain converges to one component (the fixed-round killer)") {
+    // a 40-link chain: consecutive angles differ by 0.05 rad
+    // (cos 0.05 ≈ 0.99875 ≥ tau) but already the skip-one pair falls to
+    // cos 0.1 ≈ 0.995 < tau — component diameter 40, exactly the
+    // near-critical shape measured on the driver corpus; fixed 4 rounds
+    // would split it
+    val corpus = vecs((0L until 41L).map(i => i -> planeVec(i * 0.05)))
+    val ann = SemanticDedup.dedup(corpus, k = 1, iters = 0, tau = 0.9987)
+    val kept = ann.filter(col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L), s"chain must collapse to its min id, kept=$kept")
+  }
+
+  test("pairs straddling two IVF clusters are not candidates (the SemDeDup approximation)") {
+    // two tight antipodal groups force k=2 k-means to split them; a
+    // cross-group pair can never surface however high its cosine would be
+    val corpus = vecs(
+      (0L until 5L).map(i => i -> planeVec(i * 0.01)) ++
+        (100L until 105L).map(i => i -> planeVec(math.Pi + (i - 100) * 0.01)))
+    val cents = IvfSearch.trainCentroids(corpus, k = 2, iters = 2)
+    val idx = IvfSearch.buildIndex(corpus, cents)
+    val clusters = idx.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assume(clusters(0L) != clusters(100L), "fixture: groups must split")
+    val pairs = SemanticDedup.semanticPairs(idx, tau = -1.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => clusters(a) == clusters(b) },
+      s"a cross-cluster pair surfaced: $pairs")
+    assert(pairs.exists { case (a, b) => a < 5 && b < 5 } &&
+      pairs.exists { case (a, b) => a >= 100 && b >= 100 },
+      s"within-group pairs missing: $pairs")
+  }
+}
