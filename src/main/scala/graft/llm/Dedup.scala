@@ -453,7 +453,7 @@ object Dedup {
       // one probe round: if ANY label would still move, the fixed round
       // count silently split a connected component — fail loudly instead
       // of returning deterministic-but-wrong clusters (VERDICT r5 #2).
-      val changed = countChanged(labels, propagate(edges, labels))
+      val changed = changedCount(propagate(edges, labels))
       if (changed > 0) throw new IllegalStateException(
         s"nearDupClusters: $changed labels still moving after $rounds rounds — " +
           "a component exceeds the diameter this round count covers; " +
@@ -468,9 +468,14 @@ object Dedup {
     * so arbitrarily deep components fully merge. Pointer jumping makes
     * covered diameter ~2^rounds, so even a 10^9-node path needs ~31
     * rounds; `maxRounds` is a runaway bound, not a semantic knob.
-    * Each round is checkpointed (constant-depth lineage) and the
-    * convergence probe is a count over the two latest (id,label) sets —
-    * one cheap action per round, nothing collected to the driver.
+    * Each round is checkpointed (constant-depth lineage). The
+    * convergence probe is FOLDED into the round: [[propagate]] carries
+    * each id's previous label through the same shuffle, so "did anything
+    * change" is a filter-count over the round's own checkpointed blocks
+    * (no second join job), and the probe runs every 2 rounds — pointer
+    * jumping overshoots convergence by at most one no-op round, the
+    * labels at exit are identical either way. Nothing is collected to
+    * the driver.
     */
   def nearDupClustersFixedPoint(pairs: DataFrame, maxRounds: Int = 40,
                                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
@@ -488,42 +493,105 @@ object Dedup {
           "(pointer jumping covers diameter ~2^rounds — this indicates a bug, " +
           "not a deep graph)")
       val next = propagate(edges, labels)
-      changed = countChanged(labels, next)
-      labels = next
       round += 1
+      // probe on even rounds (and at the runaway bound): at worst one
+      // extra round runs on already-converged labels, a no-op that
+      // changes nothing in the result
+      if (round % 2 == 0 || round >= maxRounds) changed = changedCount(next)
+      labels = next
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"),
       (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** Connected components of an edge set whose edges are CONFINED to a
+    * blocking key — e.g. SemDeDup's within-IVF-cluster pairs, where the
+    * candidate join is keyed on the cluster so no edge can straddle two
+    * blocks. That confinement makes the global fixed-point iteration
+    * (O(rounds) shuffles + barriers) unnecessary: components can never
+    * span blocks, so ONE shuffle on the block key + an in-task
+    * union-find per block computes the exact same components.
+    *
+    * Task memory is O(distinct nodes in the block) longs (the union-find
+    * parent map); edges STREAM through the group iterator — a block with
+    * k(k+1)/2 decomposed pair-rows never materializes its edge list.
+    * The block is the same bounded unit the pair join's block
+    * decomposition already assumes, so any corpus the pair stage can
+    * process, this stage can too.
+    *
+    * Output is bit-identical to [[nearDupClustersFixedPoint]] on the
+    * same edges: union always links the larger root UNDER the smaller,
+    * so every component's final root IS its min node id — the same
+    * canonical rule as min-label propagation at convergence.
+    */
+  def blockConfinedComponents(pairs: DataFrame, blockCol: String,
+                              aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(blockCol).cast("long").as("_1"),
+        col(aCol).cast("long").as("_2"), col(bCol).cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, edges) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        edges.foreach { case (_, a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          // union by min root: the root of a merged set is the smaller
+          // of the two roots, so the min id is never linked under
+          // anything and ends up the root of its whole component
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot ids before the final finds: path compression mutates
+        // the map, which must not race the keys iterator
+        val ids = parent.keysIterator.toArray
+        ids.iterator.map { id =>
+          val root = find(id)
+          (id, root, id == root)
+        }
+      }
+      .toDF("doc_id", "cluster", "is_canonical")
   }
 
   /** One synchronous min-label round: own label, neighbors' labels, and
     * the label of the current label (pointer jump) — all read from the
     * PREVIOUS round, so the result is execution-order independent.
     * Checkpointed: constant-depth lineage regardless of round count.
+    *
+    * Output carries `prev_label` (the id's label BEFORE this round)
+    * through the same shuffle — the own-label branch contributes it
+    * exactly once per id, the other two branches contribute null, and
+    * `max` picks the one non-null — so convergence detection is a
+    * filter over this round's checkpoint, not a join of two rounds.
     */
   private def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nullPrev = lit(null).cast("long").as("prev_label")
     val viaNeighbor = edges
       .join(labels.select(col("id").as("y"), col("label")), Seq("y"))
-      .select(col("x").as("id"), col("label"))
+      .select(col("x").as("id"), col("label"), nullPrev)
     // pointer jump: label(x) <- label(label(x)); every label is a node
     // id present in `labels`, so the join never drops rows
     val viaPointer = labels.as("a")
       .join(labels.select(col("id").as("lid"), col("label").as("plabel")).as("b"),
         col("a.label") === col("b.lid"))
-      .select(col("a.id").as("id"), col("plabel").as("label"))
-    labels.select("id", "label").union(viaNeighbor).union(viaPointer)
-      .groupBy("id").agg(min("label").as("label"))
+      .select(col("a.id").as("id"), col("plabel").as("label"), nullPrev)
+    labels.select(col("id"), col("label"), col("label").as("prev_label"))
+      .union(viaNeighbor).union(viaPointer)
+      .groupBy("id").agg(min("label").as("label"), max("prev_label").as("prev_label"))
       .pipe(graft.core.Checkpoints.stable)
   }
 
-  /** Number of ids whose label differs between two checkpointed label
-    * sets (same id universe by construction).
+  /** Number of ids whose label moved in the [[propagate]] round that
+    * produced `next` — a single-stage scan of its checkpointed blocks.
     */
-  private def countChanged(prev: DataFrame, next: DataFrame): Long =
-    prev.select(col("id"), col("label").as("prev_label"))
-      .join(next, Seq("id"))
-      .filter(col("label") =!= col("prev_label"))
-      .count()
+  private def changedCount(next: DataFrame): Long =
+    next.filter(col("label") =!= col("prev_label")).count()
 
   /** DuckDB: `rounds` synchronous min-label + pointer-jump iterations
     * over an `edges(doc_a, doc_b)` CTE — identical arithmetic to

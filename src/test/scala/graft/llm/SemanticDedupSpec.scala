@@ -74,6 +74,25 @@ class SemanticDedupSpec extends SparkSpec {
     assert(kept == Set(0L), s"chain must collapse to its min id, kept=$kept")
   }
 
+  test("blockConfinedComponents is bit-identical to fixed-point propagation on block-confined edges") {
+    // random multigraph whose edges never straddle blocks — the q95
+    // contract; includes self-dup edges, repeated edges, chains, and
+    // node ids shared across NO blocks (offset by block)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400).map { _ =>
+      val c = rnd.nextInt(6)
+      (c.toLong, (c * 1000 + rnd.nextInt(40)).toLong, (c * 1000 + rnd.nextInt(40)).toLong)
+    }.filter { case (_, a, b) => a != b }
+    val df = edges.toDF("cluster", "id_a", "id_b")
+    val got = Dedup.blockConfinedComponents(df, "cluster", aCol = "id_a", bCol = "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = Dedup.nearDupClustersFixedPoint(df, aCol = "id_a", bCol = "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want, s"only-in-got=${(got -- want).take(5)} only-in-want=${(want -- got).take(5)}")
+    assert(got.nonEmpty && got.exists(!_._3), "fixture must contain at least one dropped node")
+  }
+
   test("pairs straddling two IVF clusters are not candidates (the SemDeDup approximation)") {
     // two tight antipodal groups force k=2 k-means to split them; a
     // cross-group pair can never surface however high its cosine would be
