@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.dec
 import graft.core.{MonthKeys, PlanInspect, SessionTempRoots}
-import graft.storage.{FileStatsIndex, LakeWriter, SeriesKey}
+import graft.storage.{FileStatsIndex, LakeReader, LakeWriter, SeriesKey}
 
 /** q94: zone-map FILE SKIPPING under the oracle (SURVEY §2.1 S1 / §2.2
   * P1 — the scan-planning dimension month pruning cannot cover). The
@@ -24,9 +24,12 @@ import graft.storage.{FileStatsIndex, LakeWriter, SeriesKey}
   * (`ts' = T0 + seq·(SPAN div n)`, injective by construction); the rank
   * itself is written as data column `seq` — so each monthly file holds
   * one contiguous `seq` band, the shape any append-ordered ingest
-  * produces for free. The stats index is built incrementally and
-  * `require`d to be: non-empty, and a STEADY-STATE NO-OP on the second
-  * update (0 new files scanned — the O(new files) contract).
+  * produces for free. The stats index is created and refreshed BY THE
+  * WRITER (the `statsColumns` opt-in, under the write's own lease) and
+  * `require`d to exist after the write and to be a STEADY-STATE NO-OP on
+  * a manual re-update (0 new files scanned — the O(new files) contract);
+  * the read goes through [[graft.storage.LakeReader.readWhere]], the
+  * production consulting path.
   *
   * The declared query asks for the middle quarter of the corpus by
   * `seq BETWEEN n/4 AND n/2` (bounds derived from COUNT so one static
@@ -58,21 +61,25 @@ object StatsSkipGate {
         .withColumn("ts", expr(s"${T0}L + seq * (${Span}L div n)"))
         .select(col("ts"), col("seq"), col("user_id"), col("value"))
       val lakeRoot = s"$root/lake"
-      val rep = new LakeWriter(s, lakeRoot)
+      // PRODUCTION wiring: the writer itself creates and refreshes the
+      // index under the write's lease (statsColumns opt-in) — no
+      // hand-orchestrated init/update
+      val rep = new LakeWriter(s, lakeRoot, statsColumns = Seq("seq"))
         .writeTicks(spread, SeriesKey("X", "M", "CLICK", "ticks", "tick"))
       require(rep.rows > 0 && rep.monotonic,
         s"q94 premise: series must be non-empty with unique ordered ts " +
           s"(rows=${rep.rows}, monotonic=${rep.monotonic})")
-      val idx = s"$root/statsidx"
-      FileStatsIndex.init(s, idx, Seq("seq"))
-      val first = FileStatsIndex.update(s, lakeRoot, idx)
-      require(first >= 1, s"q94 premise: first stats update must index files ($first)")
-      val second = FileStatsIndex.update(s, lakeRoot, idx)
+      val seriesDir =
+        s"$lakeRoot/exchange=X/market=M/symbol=CLICK/type=ticks/period=tick"
+      val idx = FileStatsIndex.seriesIndexRoot(seriesDir)
+      require(FileStatsIndex.exists(s, idx),
+        "q94 premise: merge-write must have created the series stats index")
+      val second = FileStatsIndex.update(s, seriesDir, idx)
       require(second == 0,
         s"q94 premise: steady-state stats update must scan 0 new files ($second)")
     }
-    Fixture(s"$root/lake", s"$root/statsidx",
-      s"$root/lake/exchange=X/market=M/symbol=CLICK/type=ticks/period=tick")
+    val seriesDir = s"$root/lake/exchange=X/market=M/symbol=CLICK/type=ticks/period=tick"
+    Fixture(s"$root/lake", FileStatsIndex.seriesIndexRoot(seriesDir), seriesDir)
   }
 
   /** Parquet files under the series whose month dir falls inside
@@ -108,8 +115,11 @@ object StatsSkipGate {
     require(n >= 4, s"q94 premise: degenerate fixture, $n click events")
     val (sLo, sHi) = (n / 4, n / 2)
 
-    val (df, decision) = FileStatsIndex.readWhere(
-      s, fx.seriesDir, fx.lakeRoot, fx.indexRoot, "seq", sLo, sHi)
+    // PRODUCTION read path: LakeReader consults the series' colocated
+    // index (the operator is no longer reachable only by hand-wiring —
+    // VERDICT r12 What's-missing #2)
+    val (df, decision) = new LakeReader(s, fx.lakeRoot).readWhere(
+      SeriesKey("X", "M", "CLICK", "ticks", "tick"), "seq", sLo, sHi)
     val step = Span / n
     val expected = filesInMonths(fx.seriesDir,
       MonthKeys.monthKey(T0 + sLo * step), MonthKeys.monthKey(T0 + sHi * step))

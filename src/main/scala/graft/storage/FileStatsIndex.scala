@@ -97,25 +97,95 @@ object FileStatsIndex {
       text.dropWhile(_ != '[')).map(_.group(1)).toSeq
   }
 
-  /** Live data files under `dataDir` (recursive; `_`/`.`-prefixed
-    * metadata names excluded exactly as partition discovery excludes
-    * them). Returns (qualifiedPath, normalizedIdentity) pairs.
+  /** Live data files under `dataDir` (recursive; `_`/`.`-prefixed names
+    * excluded exactly as partition discovery excludes them — INCLUDING
+    * files under a hidden ancestor directory, so an index colocated
+    * inside the series tree ([[seriesIndexRoot]]) never indexes its own
+    * stats files). Returns (qualifiedPath, normalizedIdentity) pairs.
     */
   private def listDataFiles(spark: SparkSession, dataDir: String): Seq[(String, String)] = {
     val (fs, p) = hadoopFs(spark, dataDir)
     if (!fs.exists(p)) Seq.empty
     else {
+      val rootLen = p.toString.length
       val it = fs.listFiles(p, true)
       val buf = Seq.newBuilder[(String, String)]
       while (it.hasNext) {
         val st = it.next()
-        val name = st.getPath.getName
+        val f = st.getPath
+        val name = f.getName
+        val hiddenAncestor = Iterator.iterate(f.getParent)(_.getParent)
+          .takeWhile(q => q != null && q.toString.length > rootLen)
+          .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
         if (st.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith("."))
-          buf += ((st.getPath.toString, normDriver(st.getPath.toUri.toString)))
+          !name.startsWith("_") && !name.startsWith(".") && !hiddenAncestor)
+          buf += ((f.toString, normDriver(f.toUri.toString)))
       }
       buf.result()
     }
+  }
+
+  /** Conventional per-series index location: a HIDDEN directory inside
+    * the series tree. Partition discovery skips `_`-prefixed dirs, so
+    * data reads never see it; series deletion removes it for free; and
+    * the series lease that already serializes writes/compaction
+    * serializes index refreshes with them.
+    */
+  def seriesIndexRoot(seriesDir: String): String = s"$seriesDir/_stats"
+
+  /** Does an index live at `indexRoot`? (meta.json is the existence
+    * witness — it is written create-exclusively by [[init]].)
+    */
+  def exists(spark: SparkSession, indexRoot: String): Boolean = {
+    val (fs, _) = hadoopFs(spark, indexRoot)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/meta.json"))
+  }
+
+  /** Idempotent init: create the index if absent; if present, require
+    * the tracked column set matches (tracked columns are immutable for
+    * the index's life — silently diverging writers would each index a
+    * different column set and every skip decision would be garbage).
+    */
+  def ensure(spark: SparkSession, indexRoot: String, cols: Seq[String]): Unit =
+    if (!exists(spark, indexRoot)) {
+      try init(spark, indexRoot, cols)
+      catch {
+        // lost a create-exclusive race — the winner's meta is the truth,
+        // verified below like any pre-existing index
+        case _: java.io.IOException => ()
+      }
+      val got = readMeta(spark, indexRoot)
+      require(got == cols,
+        s"file-stats index at $indexRoot tracks ${got.mkString(",")}, caller wants ${cols.mkString(",")}")
+    } else {
+      val got = readMeta(spark, indexRoot)
+      require(got == cols,
+        s"file-stats index at $indexRoot tracks ${got.mkString(",")}, caller wants ${cols.mkString(",")}")
+    }
+
+  /** Drop stats entries whose file no longer exists — the hygiene pass
+    * after a compaction rewrote the files the entries point at. Dead
+    * entries are harmless for correctness (they reference paths the
+    * live listing no longer contains) but accumulate forever without
+    * this. Staged rewrite + swap: a concurrent reader sees either the
+    * old stats or none (both advisory-safe — a missing snapshot just
+    * keeps every file). Single-writer like [[update]]: callers hold the
+    * series lease. Returns the number of dead entries dropped.
+    */
+  def prune(spark: SparkSession, dataDir: String, indexRoot: String): Long = {
+    val snap = snapshot(spark, indexRoot)
+    val liveSet = listDataFiles(spark, dataDir).map(_._2).toSet
+    val total = snap.count()
+    val live = snap.filter(col("file").isin(liveSet.toSeq: _*))
+    val dead = total - live.count()
+    if (dead == 0L) return 0L
+    val (fs, _) = hadoopFs(spark, indexRoot)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$indexRoot/stats")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$indexRoot/.stats_rewrite")
+    live.coalesce(1).write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(statsPath, true)
+    fs.rename(tmpPath, statsPath)
+    dead
   }
 
   private def snapshot(spark: SparkSession, indexRoot: String): DataFrame = {

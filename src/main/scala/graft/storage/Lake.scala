@@ -94,6 +94,20 @@ private[storage] object LakeIO {
       .withColumn("month", col("month").cast("int"))
   }
 
+  /** Read an explicit list of lake leaf files (a stats-skipping
+    * survivor list), partition columns derived via `basePath` — through
+    * the same inference-off session as every other lake read, so
+    * `period=1d` survives here too.
+    */
+  def readFiles(spark: SparkSession, root: String, paths: Seq[String],
+                mergeSchema: Boolean = true): DataFrame = {
+    val df = ioSession(spark).read
+      .option("mergeSchema", mergeSchema.toString)
+      .option("basePath", root).parquet(paths: _*)
+    df.withColumn("year", col("year").cast("int"))
+      .withColumn("month", col("month").cast("int"))
+  }
+
   /** The Hive-style directory of one series under `root` (sanitized key). */
   def seriesDir(root: String, k: SeriesKey): String =
     s"$root/exchange=${k.exchange}/market=${k.market}/symbol=${k.symbol}" +
@@ -171,7 +185,15 @@ private[storage] object LakeIO {
   }
 }
 
-final class LakeWriter(spark: SparkSession, root: String) {
+/** @param statsColumns when non-empty, every merge-write also refreshes
+  *   the series' [[FileStatsIndex]] (at [[FileStatsIndex.seriesIndexRoot]])
+  *   for these columns — created on first write, then O(new files) per
+  *   flush, all under the series lease the write already holds. Readers
+  *   opt in via [[LakeReader.readWhere]]; a lake written without stats
+  *   simply never skips (the advisory contract).
+  */
+final class LakeWriter(spark: SparkSession, root: String,
+                       statsColumns: Seq[String] = Nil) {
 
   private val partCols = Seq("exchange", "market", "symbol", "type", "period", "year", "month")
 
@@ -267,6 +289,18 @@ final class LakeWriter(spark: SparkSession, root: String) {
       .partitionBy(partCols: _*)
       .parquet(root)
 
+    // stats refresh rides the same lease as the write it describes: the
+    // rewritten months' new files are indexed in one O(new files) pass,
+    // and entries for the files the dynamic overwrite just replaced are
+    // pruned so the index never accumulates the write history
+    if (statsColumns.nonEmpty) {
+      val dir = LakeIO.seriesDir(root, k)
+      val idx = FileStatsIndex.seriesIndexRoot(dir)
+      FileStatsIndex.ensure(spark, idx, statsColumns)
+      FileStatsIndex.update(spark, dir, idx)
+      FileStatsIndex.prune(spark, dir, idx)
+    }
+
     verifySeries(k, touched)
   }
 
@@ -349,6 +383,41 @@ final class LakeReader(spark: SparkSession, root: String) {
     (col("year").cast("long") * 100L + col("month"))
       .between(graft.core.MonthKeys.monthKey(startMs),
         graft.core.MonthKeys.monthKey(endMs))
+
+  /** Stats-skipping value scan (§2.1 S1 via [[FileStatsIndex]]): prune
+    * the series' FILE LIST through the persisted per-file min/max index
+    * before any footer is opened, for a predicate on a clustered data
+    * column the month dirs cannot prune (ingest seq, id bands — `ts`
+    * ranges should use [[readRange]], whose month pruning needs no
+    * index). Falls back to a plain filtered series scan when the series
+    * has no index (the advisory contract: no stats, no skipping, never
+    * an error). Returns the frame plus the skip [[FileStatsIndex.Decision]]
+    * so callers (and q94's gate) can audit what was pruned.
+    */
+  def readWhere(key: SeriesKey, column: String, lo: Long, hi: Long,
+                mergeSchema: Boolean = true): (DataFrame, FileStatsIndex.Decision) = {
+    val k = key.sanitized
+    val dir = LakeIO.seriesDir(root, k)
+    val idx = FileStatsIndex.seriesIndexRoot(dir)
+    if (FileStatsIndex.exists(spark, idx)) {
+      val d = FileStatsIndex.skipFiles(spark, dir, idx, column, lo, hi)
+      val df =
+        if (d.kept.isEmpty)
+          // schema still needed: scoped series read filtered to nothing
+          LakeIO.readSeriesScoped(spark, root, k, mergeSchema)
+            .getOrElse(sys.error(s"readWhere: unknown series $k"))
+            .filter(lit(false))
+        else
+          LakeIO.readFiles(spark, root, d.kept, mergeSchema)
+            .filter(col(column).between(lo, hi))
+      (df, d)
+    } else {
+      val df = LakeIO.readSeriesScoped(spark, root, k, mergeSchema)
+        .getOrElse(sys.error(s"readWhere: unknown series $k"))
+        .filter(col(column).between(lo, hi))
+      (df, FileStatsIndex.Decision(Seq.empty, 0L, 0L))
+    }
+  }
 
   /** Stable pagination (S10/O2): global order by ts, offset/limit. */
   def page(df: DataFrame, offset: Int, limit: Int): DataFrame =

@@ -77,6 +77,19 @@ final class LakeMaintenance(spark: SparkSession, root: String) {
       .partitionBy(partCols: _*)
       .parquet(root)
 
+    // a compaction invalidates the file-stats entries of every file it
+    // rewrote: if this series keeps an index, re-index the new files
+    // (O(rewritten files)) and drop the dead entries — under the same
+    // lease, so no writer races the refresh. A series without an index
+    // pays nothing; a crash between the rewrite and this refresh leaves
+    // only UNKNOWN live files, which the advisory contract always reads.
+    val seriesDir = LakeIO.seriesDir(root, k)
+    val idx = FileStatsIndex.seriesIndexRoot(seriesDir)
+    if (FileStatsIndex.exists(spark, idx)) {
+      FileStatsIndex.update(spark, seriesDir, idx)
+      FileStatsIndex.prune(spark, seriesDir, idx)
+    }
+
     byPartition.length.toLong
   }
 

@@ -132,6 +132,78 @@ class FileStatsSpec extends SparkSpec {
     assert(df.count() == 2L)
   }
 
+  test("writer-integrated refresh: statsColumns creates + maintains the colocated index per write") {
+    val root = tmpDir("fstats")
+    import spark.implicits._
+    val key = SeriesKey("EX", "SPOT", "SYM", "ticks", "tick")
+    val w = new LakeWriter(spark, root, statsColumns = Seq("seq"))
+    def monthRows(m: Int) = {
+      val t0 = java.time.YearMonth.of(2023, m)
+        .atDay(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      (0 until 100).map(i => (t0 + i * 60000L, ((m - 1) * 100 + i).toLong, i.toDouble))
+        .toDF("ts", "seq", "v")
+    }
+    w.writeTicks(monthRows(1).union(monthRows(2)), key)
+    val idx = FileStatsIndex.seriesIndexRoot(seriesDir(root))
+    assert(FileStatsIndex.exists(spark, idx), "writer must create the index")
+    assert(FileStatsIndex.update(spark, seriesDir(root), idx) == 0L,
+      "index must already be current after the write")
+    assert(spark.read.parquet(s"$idx/stats").count() == 2)
+
+    // second write touches month 2 (rewritten) and adds month 3: the
+    // writer re-indexes the new files AND prunes the rewritten ones
+    w.writeTicks(monthRows(2).union(monthRows(3)), key)
+    val stats = spark.read.parquet(s"$idx/stats")
+    assert(stats.count() == 3, "one live entry per live file, rewritten entries pruned")
+    val d = FileStatsIndex.skipFiles(spark, seriesDir(root), idx, "seq", 210L, 220L)
+    assert(d.total == 3L && d.kept.size == 1L, s"kept=${d.kept.size} of ${d.total}")
+
+    // the colocated hidden index is invisible to data reads AND to its
+    // own file listing (a stats file indexed as data would poison bands)
+    assert(!spark.read.parquet(root).columns.contains("file"))
+    assert(new LakeReader(spark, root).readWhere(key, "seq", 0L, 999L)._1.count() == 300L)
+  }
+
+  test("maintenance-integrated refresh: compaction re-indexes and prunes under its lease") {
+    val root = tmpDir("fstats")
+    import spark.implicits._
+    val key = SeriesKey("EX", "SPOT", "SYM", "ticks", "tick")
+    val w = new LakeWriter(spark, root, statsColumns = Seq("seq"))
+    val t0 = java.time.YearMonth.of(2023, 1)
+      .atDay(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    // two writes into the SAME month → fragmented dir (2 files after the
+    // second write's merge rewrites... force fragmentation via distinct ts
+    // batches is not guaranteed — merge-write rewrites the month as one
+    // task's files; instead fragment across months then force full rewrite)
+    w.writeTicks((0 until 50).map(i => (t0 + i * 60000L, i.toLong, 0.0)).toDF("ts", "seq", "v"), key)
+    val t1 = java.time.YearMonth.of(2023, 2)
+      .atDay(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    w.writeTicks((0 until 50).map(i => (t1 + i * 60000L, (100 + i).toLong, 0.0)).toDF("ts", "seq", "v"), key)
+    val idx = FileStatsIndex.seriesIndexRoot(seriesDir(root))
+    val before = spark.read.parquet(s"$idx/stats")
+      .select("file").collect().map(_.getString(0)).toSet
+
+    // maxFiles=0 forces every month's rewrite: all indexed paths die
+    assert(new LakeMaintenance(spark, root).compactSeries(key, maxFiles = 0) == 2L)
+    val after = spark.read.parquet(s"$idx/stats")
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(after.intersect(before).isEmpty, "compaction must prune dead entries")
+    assert(after.size == 2, s"rewritten files re-indexed, got ${after.size}")
+    val d = FileStatsIndex.skipFiles(spark, seriesDir(root), idx, "seq", 0L, 49L)
+    assert(d.skipped == 1L && d.kept.size == 1L,
+      s"post-compaction skipping must work without a manual refresh (kept=${d.kept.size})")
+    val (df, _) = new LakeReader(spark, root).readWhere(key, "seq", 100L, 149L)
+    assert(df.count() == 50L)
+  }
+
+  test("readWhere without an index falls back to a full filtered scan (advisory)") {
+    val root = tmpDir("fstats")
+    val key = writeLake(root, months = 3) // plain writer: no statsColumns
+    val (df, d) = new LakeReader(spark, root).readWhere(key, "seq", 0L, 99L)
+    assert(df.count() == 100L)
+    assert(d.total == 0L && d.skipped == 0L, "no index ⇒ no decision, never an error")
+  }
+
   test("init is create-exclusive; non-integral columns rejected") {
     val idx = tmpDir("fstatsidx")
     FileStatsIndex.init(spark, idx, Seq("seq"))
