@@ -38,9 +38,13 @@ object ClusterCheck {
     * banded/blocked self-joins (q35/q36/q37), iterative pointer-jump
     * clustering (q55), the mapPartitions as-of join (q68), bucketed and
     * salted shuffles (q78/q79), subqueries (q63), plus the flagship
-    * agg/join/window shapes (q01/q16/q20/q60/q66). Declarative queries
-    * only: the fixture gates fork their own JVMs and prove a different
-    * property (crash/concurrency safety), not task-shipping.
+    * agg/join/window shapes (q01/q16/q20/q60/q66). Mostly declarative
+    * queries — the forked-JVM concurrency gates prove a different
+    * property (crash/concurrency safety) — but the three fixture gates
+    * whose DATA PATH is itself a serialization surface are included:
+    * q93 (the persisted bloom artifact probed after broadcast), q94
+    * (survivor-path planning through LakeReader.readWhere), q95 (the
+    * per-cluster union-find shipped via groupByKey/flatMapGroups).
     */
   val subset: Seq[String] = Seq(
     "q01_pricing_summary", "q16_range_join_bands", "q20_resample_ohlcv",
@@ -56,6 +60,12 @@ object ClusterCheck {
     // bytes must arrive via the broadcast machinery in a separate JVM;
     // q92: datasketches HLL buffers shuffled between processes
     "q91_bloom_prune_join", "q92_hll_corpus_stats",
+    // q93: the bloom artifact's bytes re-broadcast for the anti-join
+    // probe in executor JVMs; q94: the skip decision must plan over
+    // survivor paths that executors can open; q95: the union-find
+    // closure + tuple encoders cross process boundaries
+    "q93_incremental_bloom_dedup", "q94_stats_skipping",
+    "q95_semantic_dedup",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on
