@@ -1,13 +1,14 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftglue.Bridge
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd dot product over two `array<float>` columns, accumulating
   * in double left-to-right — numerically identical to
@@ -117,6 +118,79 @@ case class ByteVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd coarse-quantizer assignment: for one `array<float>` row,
+  * the id of the centroid maximizing `fdot(emb, c) / ‖c‖` (a zero ‖c‖
+  * is pre-normalized to 1.0 by the caller), ties to the SMALLEST id.
+  *
+  * Replaces the k-way `greatest(struct(score, -k), ...)` construction
+  * over k INLINED literal centroid arrays: that plan's codegen grows
+  * with k and collapses to interpreted evaluation past a few dozen
+  * centroids (measured ~3 µs/dot at k=196, sf10 — BASELINE.md
+  * round-13), and a corpus-adaptive quantizer needs k in the hundreds
+  * of thousands at 100 TB, where inlining centroids into the task
+  * binary is structurally wrong. Here the centroid matrix travels as
+  * ONE broadcast (k×dim floats + precomputed norms + ids), shipped
+  * once per executor via the torrent machinery (the
+  * [[BloomMightContain]] shape), and each row is a tight primitive
+  * double-accumulation loop identical to [[FloatVecDot]]'s arithmetic.
+  *
+  * Tie rule matches the DuckDB oracle's `ORDER BY score DESC, cluster
+  * ASC` exactly: ids are required ascending and strict `>` keeps the
+  * first (smallest) id on equal scores. (The one divergence from the
+  * old `greatest` plan is IEEE ±0.0: java.lang.Double.compare orders
+  * -0.0 < 0.0 while this kernel — like SQL comparison in both engines —
+  * treats them equal; reachable only by an all-zero embedding against
+  * mixed-sign centroids.)
+  */
+case class ArgmaxCosine(child: Expression,
+                        cents: Broadcast[(Array[Int], Array[Array[Float]], Array[Double])])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> input, got ${other.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmax_cosine"
+
+  /** Called from both eval and generated code; public so the codegen
+    * reference object can reach it.
+    */
+  def assignOf(a: Any): Int = {
+    val x = a.asInstanceOf[ArrayData]
+    val (ids, cs, norms) = cents.value
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var ki = 0
+    while (ki < ids.length) {
+      val c = cs(ki)
+      val n = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      val s = acc / norms(ki)
+      if (s > best) { best = s; bestId = ids(ki) }
+      ki += 1
+    }
+    bestId
+  }
+
+  override protected def nullSafeEval(a: Any): Any = assignOf(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxCosine", this, classOf[ArgmaxCosine].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assignOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
@@ -132,6 +206,13 @@ object VectorFunctions {
 
   /** Σ aᵢ·bᵢ over int8-quantized vectors, exact in long. */
   def bdot(a: Column, b: Column): Column = c(ByteVecDot(e(a), e(b)))
+
+  /** Coarse-quantizer assignment against a broadcast (ids, centroids,
+    * norms) triple — ids must be ascending, norms pre-guarded (0 → 1.0).
+    */
+  def argmaxCosine(emb: Column,
+                   cents: Broadcast[(Array[Int], Array[Array[Float]], Array[Double])]): Column =
+    c(ArgmaxCosine(e(emb), cents))
 
   /** Approximate cosine in the quantized domain (per-vector max-abs
     * scales cancel between numerator and norms).

@@ -43,12 +43,18 @@ object IvfSearch {
   val QuantScale: Double = 1048576.0
 
   /** argmax-cosine cluster id for each vector: centroids are collected
-    * (k × dim floats — tiny by construction) and inlined as literal
-    * arrays, so assignment is a MAP-ONLY projection — no crossJoin, no
-    * shuffle, no per-row window, deterministic under task retry.
-    * ‖emb‖ scales every centroid's score equally, so argmax only needs
-    * fdot(emb, c)/‖c‖ with ‖c‖ precomputed on the driver. Ties prefer
-    * the smaller cluster id.
+    * (k × dim floats — small relative to the corpus by construction),
+    * BROADCAST once, and assignment is a MAP-ONLY projection through
+    * one codegen [[graft.functions.ArgmaxCosine]] kernel — no
+    * crossJoin, no shuffle, no per-row window, deterministic under task
+    * retry. ‖emb‖ scales every centroid's score equally, so argmax only
+    * needs fdot(emb, c)/‖c‖ with ‖c‖ precomputed on the driver. Ties
+    * prefer the smaller cluster id (the oracle's ORDER BY score DESC,
+    * cluster ASC). The broadcast shape is what a corpus-adaptive k
+    * needs: the previous per-centroid inlined-literal `greatest` plan's
+    * codegen grew with k and fell back to interpreted evaluation past a
+    * few dozen centroids (measured ~3 µs/dot at k=196 — BASELINE.md
+    * round-13; 26× wall on the q95 machinery at sf10).
     */
   private def assign(df: DataFrame, centroids: DataFrame,
                      embCol: String): DataFrame = {
@@ -59,15 +65,10 @@ object IvfSearch {
         val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
         (r.getAs[Int]("cluster"), c, if (norm == 0.0) 1.0 else norm)
       }
-      .sortBy(_._1)
-    val scored = cents.map { case (k, c, norm) =>
-      struct((fdot(col(embCol), array(c.map(lit(_)): _*)) / norm).as("s"),
-        lit(-k).as("nk"))
-    }
-    // greatest() requires ≥2 args — a 1-cluster quantizer (degenerate but
-    // legal: hash seeding can leave one survivor) assigns trivially
-    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-    df.withColumn("cluster", (-best.getField("nk")).cast("int"))
+      .sortBy(_._1) // ascending ids: ArgmaxCosine's strict > ties to the first
+    val bc = df.sparkSession.sparkContext.broadcast(
+      (cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+    df.withColumn("cluster", graft.functions.VectorFunctions.argmaxCosine(col(embCol), bc))
   }
 
   /** Deterministic 60-bit md5 hash of the id (cross-engine: DuckDB

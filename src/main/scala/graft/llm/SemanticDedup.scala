@@ -38,6 +38,20 @@ import graft.queries.Embeddings.{dot, norm}
   */
 object SemanticDedup {
 
+  /** The production K rule: clusters sized to a fixed average (~1024
+    * vectors), so the quadratic term Σ|cluster|² stays ~n·1024 — LINEAR
+    * in the corpus — instead of n²/K with a pinned K. This is SemDeDup's
+    * own scaling recipe (cluster count grows with the corpus; the paper
+    * fixes cluster SIZE, not count) and mirrors
+    * [[SimilaritySearch.adaptivePlanes]]' bucket rule. The q95 gate pins
+    * K=8 instead so its recursive-CTE oracle replays bit-identically at
+    * replay scale (the CTE's closure, not the pair join, is what caps
+    * the oracle — see BASELINE.md round-13 cap note); production
+    * callers should pass `adaptiveK(corpus.count())`.
+    */
+  def adaptiveK(n: Long, targetClusterSize: Long = 1024L): Int =
+    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
   /** High-cosine pairs within each cluster of an assigned index
     * (`vec_id`, `embedding`, `cluster`): block-decomposed self-join,
     * ids normalized ascending.
