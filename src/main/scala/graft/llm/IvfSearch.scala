@@ -245,10 +245,22 @@ object IvfSearch {
     * deterministic IVF assignment (q95 semantic dedup). Caller splices
     * it as `WITH $fragment, ...`.
     */
-  def duckIndexCtes(k: Int, iters: Int): String = {
+  def duckIndexCtes(k: Int, iters: Int): String =
+    duckIndexCtesK(k.toString, iters)
+
+  /** [[duckIndexCtes]] with the cluster count as a SQL EXPRESSION — the
+    * q80-adaptive-planes pattern: a corpus-adaptive quantizer stays
+    * replayable in ONE static SQL string because both engines derive k
+    * from the same COUNT(*) arithmetic (e.g.
+    * `(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) FROM
+    * embeddings)` ↔ [[SemanticDedup.adaptiveK]]). k only appears in the
+    * seed-bucket modulus; everything downstream keys on the cluster ids
+    * it produces.
+    */
+  def duckIndexCtesK(kSql: String, iters: Int): String = {
     val seed =
       s"""SELECT s.cluster, e.embedding AS centroid FROM (
-         |  SELECT (${TextHash.duckMd5Long("vec_id::VARCHAR")} % $k) AS cluster,
+         |  SELECT (${TextHash.duckMd5Long("vec_id::VARCHAR")} % ($kSql)) AS cluster,
          |         MIN(vec_id) AS mid
          |  FROM embeddings GROUP BY 1) s
          |JOIN embeddings e ON e.vec_id = s.mid""".stripMargin

@@ -30,7 +30,16 @@ import graft.llm.{IvfSearch, SemanticDedup}
   */
 object SemanticOps {
 
-  private val K = 8
+  // Corpus-adaptive cluster count, the q80-adaptive-planes pattern: BOTH
+  // engines derive K = max(8, ceil(n / 1024)) from COUNT(*), so the gate
+  // replays in one static SQL at every SF while Σ|cluster|² stays ~n·1024
+  // (linear) instead of n²/K. At the oracle-checked scales
+  // (sf0.001/0.01/0.1, n ≤ 2000) this is exactly the former pinned K=8 —
+  // results unchanged; at sf1+ the Spark side runs the production plan
+  // (BASELINE.md round-13: 338 s pinned vs 26.7 s adaptive at sf10).
+  private val TargetCluster = 1024
+  private val KSql =
+    s"(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / $TargetCluster.0) AS BIGINT)) FROM embeddings)"
   private val Iters = 1
   private val Tau = 0.35
 
@@ -41,7 +50,7 @@ object SemanticOps {
 
   val semanticDedup: Q = Q(
     "q95_semantic_dedup",
-    s"""WITH RECURSIVE ${IvfSearch.duckIndexCtes(K, Iters)},
+    s"""WITH RECURSIVE ${IvfSearch.duckIndexCtesK(KSql, Iters)},
        |bn AS MATERIALIZED (
        |  SELECT vec_id, embedding, cluster, ${duckNorm("embedding")} AS nrm
        |  FROM idx),
@@ -68,8 +77,10 @@ object SemanticOps {
     // two actions traverse the annotated corpus (the premise probe and
     // the result agg) — checkpoint so the IVF + pair-join pipeline runs
     // exactly once
+    val corpus = Tables.embeddings(s, d)
+    val k = SemanticDedup.adaptiveK(corpus.count(), TargetCluster)
     val annotated = graft.core.Checkpoints.stable(
-      SemanticDedup.dedup(Tables.embeddings(s, d), K, Iters, Tau))
+      SemanticDedup.dedup(corpus, k, Iters, Tau))
     val p = annotated.agg(count(lit(1)).as("total"),
       coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
     val (total, dropped) = (p.getLong(0), p.getLong(1))
