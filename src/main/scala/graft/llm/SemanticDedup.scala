@@ -43,11 +43,10 @@ object SemanticDedup {
     * in the corpus — instead of n²/K with a pinned K. This is SemDeDup's
     * own scaling recipe (cluster count grows with the corpus; the paper
     * fixes cluster SIZE, not count) and mirrors
-    * [[SimilaritySearch.adaptivePlanes]]' bucket rule. The q95 gate pins
-    * K=8 instead so its recursive-CTE oracle replays bit-identically at
-    * replay scale (the CTE's closure, not the pair join, is what caps
-    * the oracle — see BASELINE.md round-13 cap note); production
-    * callers should pass `adaptiveK(corpus.count())`.
+    * [[SimilaritySearch.adaptivePlanes]]' bucket rule. The q95 gate uses
+    * this same rule, with the ORACLE deriving the identical K from
+    * COUNT(*) in static SQL ([[IvfSearch.duckIndexCtesK]] — the q80
+    * pattern), so the hash gate holds at every oracle-feasible scale.
     */
   def adaptiveK(n: Long, targetClusterSize: Long = 1024L): Int =
     math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt

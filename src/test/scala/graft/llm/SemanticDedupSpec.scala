@@ -93,6 +93,19 @@ class SemanticDedupSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(!_._3), "fixture must contain at least one dropped node")
   }
 
+  test("adaptiveK: ceil arithmetic matches the oracle's GREATEST(8, CEIL(n/1024.0)) exactly") {
+    // the q95 gate derives K from COUNT(*) on BOTH engines — any
+    // off-by-one between Scala integer-ceil and SQL CEIL would fork the
+    // quantizer and hash-mismatch; pin the boundaries
+    assert(SemanticDedup.adaptiveK(1) == 8)
+    assert(SemanticDedup.adaptiveK(2000) == 8)     // driver sf0.1: unchanged vs pinned K=8
+    assert(SemanticDedup.adaptiveK(8192) == 8)     // 8192/1024 = 8 exactly
+    assert(SemanticDedup.adaptiveK(8193) == 9)     // first n above the K=8 plateau
+    assert(SemanticDedup.adaptiveK(20000) == 20)   // sf1
+    assert(SemanticDedup.adaptiveK(200000) == 196) // sf10 (ceil(200000/1024))
+    assert(SemanticDedup.adaptiveK(1024L * 1024L * 1024L) == 1048576)
+  }
+
   test("pairs straddling two IVF clusters are not candidates (the SemDeDup approximation)") {
     // two tight antipodal groups force k=2 k-means to split them; a
     // cross-group pair can never surface however high its cosine would be
