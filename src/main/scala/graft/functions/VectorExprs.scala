@@ -191,6 +191,77 @@ case class ArgmaxCosine(child: Expression,
     copy(child = newChild)
 }
 
+/** Top-`n` variant of [[ArgmaxCosine]]: the ids of the `n` centroids
+  * with the highest `fdot(emb, c)/‖c‖`, ordered (score DESC, id ASC) —
+  * bit-matching `ROW_NUMBER() OVER (ORDER BY score DESC, cluster ASC)
+  * ≤ n` in the oracle. Fewer than `n` centroids returns them all. Same
+  * broadcast shape, same FloatVecDot arithmetic; the selection scans
+  * ids ascending and inserts on STRICT improvement, so equal scores
+  * keep the smaller id first. Powers multi-probe assignment (a vector
+  * near a Voronoi boundary joins its 2 nearest clusters so boundary
+  * near-duplicates become candidates — vanilla IVF blocking misses them
+  * by construction).
+  */
+case class TopNCosine(child: Expression,
+                      cents: Broadcast[(Array[Int], Array[Array[Float]], Array[Double])],
+                      n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, s"TopNCosine needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> input, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "topn_cosine"
+
+  /** Called from both eval and generated code. */
+  def probesOf(a: Any): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val x = a.asInstanceOf[ArrayData]
+    val (ids, cs, norms) = cents.value
+    val m = math.min(n, ids.length)
+    val bestS = Array.fill(m)(Double.NegativeInfinity)
+    val bestId = new Array[Int](m)
+    var ki = 0
+    while (ki < ids.length) {
+      val c = cs(ki)
+      val len = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < len) {
+        acc += x.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      val s = acc / norms(ki)
+      // stable insertion: strict > only, so among equal scores the
+      // earlier (smaller, ids are ascending) id keeps the better rank
+      var j = m
+      while (j > 0 && s > bestS(j - 1)) j -= 1
+      if (j < m) {
+        var t = m - 1
+        while (t > j) { bestS(t) = bestS(t - 1); bestId(t) = bestId(t - 1); t -= 1 }
+        bestS(j) = s
+        bestId(j) = ids(ki)
+      }
+      ki += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestId)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = probesOf(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topnCosine", this, classOf[TopNCosine].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probesOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
@@ -213,6 +284,12 @@ object VectorFunctions {
   def argmaxCosine(emb: Column,
                    cents: Broadcast[(Array[Int], Array[Array[Float]], Array[Double])]): Column =
     c(ArgmaxCosine(e(emb), cents))
+
+  /** Top-n centroid ids by cosine, (score DESC, id ASC) — multi-probe. */
+  def topnCosine(emb: Column,
+                 cents: Broadcast[(Array[Int], Array[Array[Float]], Array[Double])],
+                 n: Int): Column =
+    c(TopNCosine(e(emb), cents, n))
 
   /** Approximate cosine in the quantized domain (per-vector max-abs
     * scales cancel between numerator and norms).

@@ -56,8 +56,9 @@ object IvfSearch {
     * few dozen centroids (measured ~3 µs/dot at k=196 — BASELINE.md
     * round-13; 26× wall on the q95 machinery at sf10).
     */
-  private def assign(df: DataFrame, centroids: DataFrame,
-                     embCol: String): DataFrame = {
+  private def broadcastCentroids(spark: org.apache.spark.sql.SparkSession,
+                                 centroids: DataFrame)
+  : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Float]], Array[Double])] = {
     val cents: Array[(Int, Array[Float], Double)] = centroids
       .collect()
       .map { r =>
@@ -65,10 +66,35 @@ object IvfSearch {
         val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
         (r.getAs[Int]("cluster"), c, if (norm == 0.0) 1.0 else norm)
       }
-      .sortBy(_._1) // ascending ids: ArgmaxCosine's strict > ties to the first
-    val bc = df.sparkSession.sparkContext.broadcast(
-      (cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+      .sortBy(_._1) // ascending ids: the kernels' strict > ties to the first
+    spark.sparkContext.broadcast((cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+  }
+
+  private def assign(df: DataFrame, centroids: DataFrame,
+                     embCol: String): DataFrame = {
+    val bc = broadcastCentroids(df.sparkSession, centroids)
     df.withColumn("cluster", graft.functions.VectorFunctions.argmaxCosine(col(embCol), bc))
+  }
+
+  /** Multi-probe assignment: one row per (vector, probe) with `cluster`
+    * and 1-based `probe_rank` — rank 1 is [[buildIndex]]'s assignment,
+    * rank 2..nProbe are the next-nearest centroids by the identical
+    * (score DESC, id ASC) rule. The blocking relaxation SemDeDup-style
+    * dedup needs to see boundary pairs: a vector near a Voronoi face
+    * joins both adjacent clusters, so a duplicate pair straddling the
+    * face becomes a within-cluster candidate instead of being
+    * structurally invisible. Cost: nProbe× the index rows (pair stage
+    * ≤ nProbe²× — still Σ|cluster|², never N²).
+    */
+  def buildIndexMultiProbe(corpus: DataFrame, centroids: DataFrame,
+                           embCol: String = "embedding", nProbe: Int = 2): DataFrame = {
+    val bc = broadcastCentroids(corpus.sparkSession, centroids)
+    corpus
+      .withColumn("__probes",
+        graft.functions.VectorFunctions.topnCosine(col(embCol), bc, nProbe))
+      .select(col("*"), posexplode(col("__probes")).as(Seq("__r", "cluster")))
+      .withColumn("probe_rank", col("__r") + 1)
+      .drop("__probes", "__r")
   }
 
   /** Deterministic 60-bit md5 hash of the id (cross-engine: DuckDB

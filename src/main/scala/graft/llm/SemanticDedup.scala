@@ -87,6 +87,34 @@ object SemanticDedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
   }
 
+  /** Multi-probe variant (q96): each vector joins its `nProbe` nearest
+    * clusters for PAIR GENERATION, so duplicate pairs straddling a
+    * Voronoi boundary — structurally invisible to vanilla SemDeDup,
+    * which both [[dedup]] and the paper restrict away — become
+    * within-cluster candidates. The dedup decision is unchanged in
+    * kind: connected components of the τ-graph, keep = group-min. Edges
+    * are NOT cluster-confined here (a probe-2 membership bridges two
+    * clusters), so components use [[Dedup.nearDupClustersFixedPoint]] —
+    * exactly the cross-bucket case that form exists for; the τ-filtered
+    * edge set is candidate-sized, so the iteration is cheap. A pair
+    * sharing both probes surfaces twice and is deduped before
+    * clustering. Reported cluster = the rank-1 assignment.
+    */
+  def dedupMultiProbe(corpus: DataFrame, k: Int, iters: Int, tau: Double,
+                      nProbe: Int = 2, idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val centroids = IvfSearch.trainCentroids(corpus, k, iters, idCol, embCol)
+    val multi = IvfSearch.buildIndexMultiProbe(
+      corpus.select(col(idCol), col(embCol)), centroids, embCol, nProbe)
+    val pairs = semanticPairs(multi, tau)
+      .select("id_a", "id_b").distinct()
+    val groups = Dedup.nearDupClustersFixedPoint(pairs, aCol = "id_a", bCol = "id_b")
+    multi.filter(col("probe_rank") === 1)
+      .join(groups.select(col("doc_id").as(idCol), col("is_canonical")), Seq(idCol), "left")
+      .select(col(idCol), col("cluster").as("ivf_cluster"),
+        coalesce(col("is_canonical"), lit(true)).as("kept"))
+  }
+
   /** Full pipeline: every corpus vector annotated with its IVF cluster
     * and whether semantic dedup keeps it (singletons and duplicate-group
     * minima survive). Deterministic end to end.

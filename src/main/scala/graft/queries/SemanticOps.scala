@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{IvfSearch, SemanticDedup}
+import graft.llm.{Dedup, IvfSearch, SemanticDedup}
 
 /** q95: semantic dedup (SemDeDup) under the oracle — the embedding-space
   * dedup pass a training pipeline runs AFTER n-gram dedup, catching
@@ -98,5 +98,103 @@ object SemanticOps {
       .orderBy("ivf_cluster")
   }
 
-  val all: Seq[Q] = Seq(semanticDedup)
+  /** q96: MULTI-PROBE semantic dedup — the boundary-recall fix for q95's
+    * one approximation. Vanilla SemDeDup only considers within-cluster
+    * pairs, so a duplicate pair straddling a Voronoi face is
+    * structurally invisible (q95's spec pins that behavior). Here each
+    * vector joins its 2 nearest clusters for pair generation (identical
+    * ranking rule both engines: score DESC, cluster ASC), edges are
+    * deduped, and components run to full convergence — edges now cross
+    * rank-1 clusters, which is exactly what the iterate-to-fixpoint
+    * form exists for. The declared result adds `n_probe2` (how many
+    * vectors chose this cluster second), pinning the probe ranking
+    * itself into the hash. Premise per execution: at least one
+    * candidate pair crosses rank-1 clusters — the pairs q95 cannot see,
+    * i.e. the reason this query exists.
+    */
+  val semanticDedupMultiProbe: Q = Q(
+    "q96_semantic_multiprobe",
+    s"""WITH RECURSIVE ${IvfSearch.duckIndexCtesK(KSql, Iters)},
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cluster, __rn AS probe_rank FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckDot("e.embedding", "c.centroid")} /
+       |          (CASE WHEN ${duckNorm("c.centroid")} = 0 THEN 1.0
+       |                ELSE ${duckNorm("c.centroid")} END) DESC,
+       |        c.cluster ASC) AS __rn
+       |    FROM embeddings e CROSS JOIN cent$Iters c)
+       |  WHERE __rn <= 2),
+       |bn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cluster, ${duckNorm("embedding")} AS nrm
+       |  FROM probes),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bn a JOIN bn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $Tau),
+       |edgesu AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM edges
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT x AS id, x AS label FROM edgesu
+       |  UNION
+       |  SELECT e.x AS id, l.label FROM lab l JOIN edgesu e ON e.y = l.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(label) AS label FROM lab GROUP BY id)
+       |  WHERE id <> label),
+       |p2 AS (
+       |  SELECT cluster, COUNT(*) AS n_probe2 FROM probes
+       |  WHERE probe_rank = 2 GROUP BY 1)
+       |SELECT CAST(i.cluster AS BIGINT) AS ivf_cluster,
+       |       COUNT(*) AS n_members,
+       |       CAST(COUNT(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids,
+       |       CAST(COALESCE(MAX(p2.n_probe2), 0) AS BIGINT) AS n_probe2
+       |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
+       |LEFT JOIN p2 ON p2.cluster = i.cluster
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+    val k = SemanticDedup.adaptiveK(corpus.count(), TargetCluster)
+    val centroids = IvfSearch.trainCentroids(corpus, k, Iters)
+    val multi = graft.core.Checkpoints.stable(IvfSearch.buildIndexMultiProbe(
+      corpus.select(col("vec_id"), col("embedding")), centroids, "embedding", nProbe = 2))
+    val pairs = graft.core.Checkpoints.stable(
+      SemanticDedup.semanticPairs(multi, Tau).select("id_a", "id_b").distinct())
+    val rank1 = multi.filter(col("probe_rank") === 1).select(col("vec_id"), col("cluster"))
+
+    // the value premise: pairs that CROSS rank-1 clusters are exactly
+    // the candidates single-probe SemDeDup (q95) cannot generate
+    val cross = pairs
+      .join(rank1.select(col("vec_id").as("id_a"), col("cluster").as("ca")), Seq("id_a"))
+      .join(rank1.select(col("vec_id").as("id_b"), col("cluster").as("cb")), Seq("id_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    require(cross >= 1,
+      s"q96 premise: no candidate pair crosses rank-1 clusters ($cross) — " +
+        "multi-probe found nothing beyond q95's reach")
+
+    val groups = Dedup.nearDupClustersFixedPoint(pairs, aCol = "id_a", bCol = "id_b")
+    val annotated = rank1
+      .join(groups.select(col("doc_id").as("vec_id"), col("is_canonical")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_canonical"), lit(true)).as("kept"))
+    val p = annotated.agg(count(lit(1)).as("total"),
+      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
+    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
+      s"q96 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
+
+    val probe2 = multi.filter(col("probe_rank") === 2)
+      .groupBy("cluster").agg(count(lit(1)).as("__np2"))
+    annotated
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
+      .join(probe2, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("ivf_cluster"),
+        col("n_members"), col("n_kept"), col("sum_kept_ids"),
+        coalesce(col("__np2"), lit(0L)).cast("long").as("n_probe2"))
+      .orderBy("ivf_cluster")
+  }
+
+  val all: Seq[Q] = Seq(semanticDedup, semanticDedupMultiProbe)
 }

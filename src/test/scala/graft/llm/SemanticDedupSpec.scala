@@ -106,6 +106,70 @@ class SemanticDedupSpec extends SparkSpec {
     assert(SemanticDedup.adaptiveK(1024L * 1024L * 1024L) == 1048576)
   }
 
+  test("multi-probe catches the boundary duplicate single-probe provably misses") {
+    // HAND-PLACED centroids at angles 0 and π pin the Voronoi face at
+    // exactly π/2 (no k-means dynamics in the way — the full trained
+    // pipeline is oracle-gated end-to-end by q96 at three SFs); a
+    // near-identical pair at π/2 ∓ 0.01 (cos ≈ 0.9998) straddles it, so
+    // its rank-1 clusters differ and single-probe blocking never
+    // generates the pair — the approximation the sibling spec pins.
+    // nProbe=2 makes each boundary vector a member of BOTH clusters,
+    // the pair surfaces in each, and exactly the larger id is dropped.
+    import spark.implicits._
+    val corpus = vecs(
+      (0L until 5L).map(i => i -> planeVec(i * 0.01)) ++
+        (100L until 105L).map(i => i -> planeVec(math.Pi + (i - 100) * 0.01)) ++
+        Seq(50L -> planeVec(math.Pi / 2 - 0.01), 51L -> planeVec(math.Pi / 2 + 0.01)))
+    val cents = Seq((0, planeVec(0)), (1, planeVec(math.Pi))).toDF("cluster", "centroid")
+    val idx = IvfSearch.buildIndex(corpus, cents)
+    val r1 = idx.select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1(50L) != r1(51L), s"the planted pair must straddle (${r1(50L)}/${r1(51L)})")
+
+    // single-probe: blocking by rank-1 cluster — the boundary pair is
+    // structurally invisible, BOTH survive
+    val tau = 0.99
+    val sGroups = Dedup.blockConfinedComponents(
+      SemanticDedup.semanticPairs(idx, tau), blockCol = "cluster", aCol = "id_a", bCol = "id_b")
+    val sDropped = sGroups.filter(!col("is_canonical"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!sDropped.contains(50L) && !sDropped.contains(51L),
+      s"single-probe must keep BOTH boundary dups (the blind spot), dropped=$sDropped")
+
+    // multi-probe over the SAME centroids: the pair surfaces, larger id dropped
+    val multi = IvfSearch.buildIndexMultiProbe(corpus, cents, nProbe = 2)
+    val mPairs = SemanticDedup.semanticPairs(multi, tau).select("id_a", "id_b").distinct()
+    val mDropped = Dedup.nearDupClustersFixedPoint(mPairs, aCol = "id_a", bCol = "id_b")
+      .filter(!col("is_canonical")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mDropped.contains(51L) && !mDropped.contains(50L),
+      s"multi-probe must drop exactly the larger boundary dup, dropped=$mDropped")
+    // within-cluster dedup behavior unchanged: each tight group keeps its min
+    assert(!mDropped.contains(0L) && mDropped.contains(1L) &&
+      !mDropped.contains(100L) && mDropped.contains(101L))
+  }
+
+  test("TopNCosine ranking matches brute-force (score DESC, id ASC) with FloatVecDot arithmetic") {
+    val rnd = new scala.util.Random(23)
+    val corpus = vecs((0L until 40L).map(id => id -> Seq.fill(6)(rnd.nextGaussian().toFloat)))
+    val cents = IvfSearch.trainCentroids(corpus, k = 6, iters = 1)
+    val multi = IvfSearch.buildIndexMultiProbe(corpus, cents, nProbe = 3)
+      .select("vec_id", "probe_rank", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val centArr = cents.collect().map { r =>
+      val c = r.getAs[scala.collection.Seq[Float]]("centroid").map(_.toDouble).toArray
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (r.getAs[Int]("cluster"), c, if (n == 0.0) 1.0 else n)
+    }.sortBy(_._1)
+    val embs = corpus.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    for ((id, emb) <- embs) {
+      val want = centArr.map { case (k, c, n) =>
+        (k, emb.zip(c).map { case (a, b) => a * b }.sum / n)
+      }.sortBy { case (k, s) => (-s, k) }.take(3).map(_._1).toSeq
+      val got = multi.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
+      assert(got == want, s"vec $id: got $got want $want")
+    }
+  }
+
   test("pairs straddling two IVF clusters are not candidates (the SemDeDup approximation)") {
     // two tight antipodal groups force k=2 k-means to split them; a
     // cross-group pair can never surface however high its cosine would be
