@@ -66,6 +66,9 @@ object ClusterCheck {
     // closure + tuple encoders cross process boundaries
     "q93_incremental_bloom_dedup", "q94_stats_skipping",
     "q95_semantic_dedup",
+    // q96: the TopNCosine broadcast kernel (multi-probe assignment)
+    // crossing JVM boundaries, plus the cross-cluster fixed-point
+    "q96_semantic_multiprobe",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on
