@@ -141,6 +141,14 @@ case class ByteVecDot(left: Expression, right: Expression)
   * -0.0 < 0.0 while this kernel — like SQL comparison in both engines —
   * treats them equal; reachable only by an all-zero embedding against
   * mixed-sign centroids.)
+  *
+  * NaN contract: a NaN score (NaN in the embedding or a centroid) never
+  * improves on `best`, so NaN-scored centroids are SKIPPED — if every
+  * score is NaN the result falls back to `ids(0)`, a real centroid id
+  * (never a fabricated one). NaN embeddings are out of contract for the
+  * pipelines here (norms are finite by construction); the old
+  * `greatest`-plan ordered NaN largest, so behavior on such data
+  * intentionally differs (ADVICE r13).
   */
 case class ArgmaxCosine(child: Expression,
                         cents: Broadcast[(Array[Int], Array[Array[Float]], Array[Double])])
@@ -218,7 +226,13 @@ case class TopNCosine(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "topn_cosine"
 
-  /** Called from both eval and generated code. */
+  /** Called from both eval and generated code. NaN scores never insert
+    * (strict `>` is false for NaN), so with NaN-poisoned input fewer
+    * than `m` slots may fill — the result is TRUNCATED to the filled
+    * prefix rather than padding with the slot default (id 0, which may
+    * not be a real centroid id — ADVICE r13). On in-contract (finite)
+    * data all m slots always fill and the truncation is a no-op.
+    */
   def probesOf(a: Any): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val x = a.asInstanceOf[ArrayData]
     val (ids, cs, norms) = cents.value
@@ -248,7 +262,10 @@ case class TopNCosine(child: Expression,
       }
       ki += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestId)
+    var filled = 0
+    while (filled < m && bestS(filled) != Double.NegativeInfinity) filled += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (filled == m) bestId else java.util.Arrays.copyOf(bestId, filled))
   }
 
   override protected def nullSafeEval(a: Any): Any = probesOf(a)

@@ -107,15 +107,20 @@ object FileStatsIndex {
     val (fs, p) = hadoopFs(spark, dataDir)
     if (!fs.exists(p)) Seq.empty
     else {
-      val rootLen = p.toString.length
-      val it = fs.listFiles(p, true)
+      // qualify the root so ancestor-walk comparisons are Path EQUALITY
+      // against the same fully-qualified form the listing returns — a
+      // raw-string length cutoff misaligns for relative/unqualified
+      // dataDir and then inspects dataDir itself and ancestors ABOVE it,
+      // excluding every file under a '_'-named ancestor (ADVICE r13)
+      val root = fs.makeQualified(p)
+      val it = fs.listFiles(root, true)
       val buf = Seq.newBuilder[(String, String)]
       while (it.hasNext) {
         val st = it.next()
         val f = st.getPath
         val name = f.getName
         val hiddenAncestor = Iterator.iterate(f.getParent)(_.getParent)
-          .takeWhile(q => q != null && q.toString.length > rootLen)
+          .takeWhile(q => q != null && q != root)
           .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
         if (st.isFile && name.endsWith(".parquet") &&
           !name.startsWith("_") && !name.startsWith(".") && !hiddenAncestor)
@@ -173,10 +178,14 @@ object FileStatsIndex {
     * series lease. Returns the number of dead entries dropped.
     */
   def prune(spark: SparkSession, dataDir: String, indexRoot: String): Long = {
+    import spark.implicits._
     val snap = snapshot(spark, indexRoot)
-    val liveSet = listDataFiles(spark, dataDir).map(_._2).toSet
+    // metadata-sized JOIN on normalized file identity, mirroring
+    // skipFiles — an isin(...) literal per live file would inflate the
+    // plan into a million-term In expression at lake scale (ADVICE r13)
+    val liveDf = listDataFiles(spark, dataDir).map(_._2).toDF("file")
     val total = snap.count()
-    val live = snap.filter(col("file").isin(liveSet.toSeq: _*))
+    val live = snap.join(liveDf, Seq("file"), "left_semi")
     val dead = total - live.count()
     if (dead == 0L) return 0L
     val (fs, _) = hadoopFs(spark, indexRoot)

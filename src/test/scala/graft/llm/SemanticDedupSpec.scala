@@ -93,6 +93,82 @@ class SemanticDedupSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(!_._3), "fixture must contain at least one dropped node")
   }
 
+  test("blockBridgedComponents is bit-identical to the global fixed-point when nodes span blocks") {
+    // the q96 shape: every EDGE is block-confined, but a node sits in up
+    // to 2 blocks (multi-probe membership), so components chain ACROSS
+    // blocks through shared nodes. Random multigraph: 6 blocks, each
+    // node assigned 1-2 blocks, edges generated within a block among its
+    // members — plus a planted 4-block chain so quotient transitivity
+    // (root-of-root merging, not just one bridge) is always exercised.
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val nodeBlocks: Map[Long, Seq[Long]] = (0L until 60L).map { id =>
+      val b1 = rnd.nextInt(6).toLong
+      val bs = if (rnd.nextBoolean()) Seq(b1, (b1 + 1 + rnd.nextInt(5)) % 6) else Seq(b1)
+      id -> bs
+    }.toMap
+    val byBlock: Map[Long, Seq[Long]] = nodeBlocks.toSeq
+      .flatMap { case (id, bs) => bs.map(_ -> id) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val random = (0 until 300).flatMap { _ =>
+      val b = rnd.nextInt(6).toLong
+      val members = byBlock.getOrElse(b, Seq.empty)
+      if (members.size < 2) None
+      else {
+        val a = members(rnd.nextInt(members.size))
+        val c = members(rnd.nextInt(members.size))
+        if (a == c) None else Some((b, math.min(a, c), math.max(a, c)))
+      }
+    }
+    // planted chain: 100-101 in block 10, 101-102 in block 11,
+    // 102-103 in block 12, 103-104 in block 13 — component {100..104}
+    // crosses four blocks and must collapse to label 100
+    val planted = Seq((10L, 100L, 101L), (11L, 101L, 102L),
+      (12L, 102L, 103L), (13L, 103L, 104L))
+    val df = (random ++ planted).toDF("cluster", "id_a", "id_b")
+    val got = Dedup.blockBridgedComponents(df, "cluster", aCol = "id_a", bCol = "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = Dedup.nearDupClustersFixedPoint(
+      df.select("id_a", "id_b").distinct(), aCol = "id_a", bCol = "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want, s"only-in-got=${(got -- want).take(5)} only-in-want=${(want -- got).take(5)}")
+    assert(got.contains((104L, 100L, false)), "planted 4-block chain must collapse to min id 100")
+    // bridgeCollectMax=0 forces the distributed fixed-point fallback —
+    // both quotient solvers must be bit-identical
+    val gotDist = Dedup.blockBridgedComponents(df, "cluster",
+      aCol = "id_a", bCol = "id_b", bridgeCollectMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(gotDist == want, "distributed quotient fallback diverged from the local solve")
+  }
+
+  test("TopNCosine/ArgmaxCosine NaN contract: NaN scores skipped, result truncated to real ids") {
+    // ADVICE r13: a NaN score must never emit a fabricated centroid id
+    // (the slot default 0). Three centroids with ids 7/8/9 — id 0 does
+    // not exist, so any 0 in the output is the regression.
+    import spark.implicits._
+    val ids = Array(7, 8, 9)
+    val cents = Array(
+      Array(1.0f, 0.0f),
+      Array(Float.NaN, 1.0f), // NaN-poisoned centroid: score always NaN
+      Array(0.0f, 1.0f))
+    val norms = Array(1.0, 1.0, 1.0)
+    val bc = spark.sparkContext.broadcast((ids, cents, norms))
+    val df = Seq(
+      (1L, Seq(1.0f, 0.1f)),            // finite: full top-3 impossible (slot 2 NaN) -> 2 ids
+      (2L, Seq(Float.NaN, 0.5f))        // NaN embedding: every score NaN -> empty / fallback
+    ).toDF("id", "emb")
+      .select(col("id"),
+        graft.functions.VectorFunctions.topnCosine(col("emb"), bc, 3).as("top"),
+        graft.functions.VectorFunctions.argmaxCosine(col("emb"), bc).as("arg"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[scala.collection.Seq[Int]]("top").toSeq, r.getInt(2)))).toMap
+
+    assert(df(1L)._1 == Seq(7, 9), s"finite row: NaN centroid skipped, got ${df(1L)._1}")
+    assert(df(1L)._2 == 7)
+    assert(df(2L)._1 == Seq.empty, s"all-NaN row must truncate to empty, got ${df(2L)._1}")
+    assert(df(2L)._2 == 7, "ArgmaxCosine all-NaN fallback is ids(0) — a REAL id, never 0")
+  }
+
   test("adaptiveK: ceil arithmetic matches the oracle's GREATEST(8, CEIL(n/1024.0)) exactly") {
     // the q95 gate derives K from COUNT(*) on BOTH engines — any
     // off-by-one between Scala integer-ceil and SQL CEIL would fork the

@@ -204,6 +204,36 @@ class FileStatsSpec extends SparkSpec {
     assert(d.total == 0L && d.skipped == 0L, "no index ⇒ no decision, never an error")
   }
 
+  test("relative dataDir under a hidden-named ancestor still lists, indexes, and skips (ADVICE r13)") {
+    // the regression: the hidden-ancestor walk compared fully-qualified
+    // listing paths against the RAW caller string by length, so an
+    // unqualified/relative dataDir misaligned the cutoff, the walk
+    // climbed into ancestors ABOVE the root, found the '_'-named one,
+    // excluded EVERY data file — and readWhere returned a silently empty
+    // frame over live data. Root cause fixed by qualifying the root and
+    // walking by Path equality; this pins both spellings.
+    import spark.implicits._
+    val rel = s"target/fstats_rel_${System.nanoTime()}/_work/lake"
+    val abs = new java.io.File(rel).getAbsolutePath
+    try {
+      (0L until 100L).map(i => (i, i.toDouble)).toDF("seq", "v")
+        .coalesce(1).write.parquet(abs)
+      for (dataDir <- Seq(rel, abs)) { // relative AND absolute-unqualified
+        val idx = tmpDir(s"fstats_rel_idx")
+        FileStatsIndex.init(spark, idx, Seq("seq"))
+        assert(FileStatsIndex.update(spark, dataDir, idx) == 1L,
+          s"dataDir=$dataDir: the data file under the '_'-named ancestor must be indexed")
+        val d = FileStatsIndex.skipFiles(spark, dataDir, idx, "seq", 10L, 20L)
+        assert(d.total == 1L && d.kept.size == 1,
+          s"dataDir=$dataDir: live file wrongly excluded (total=${d.total}, kept=${d.kept.size})")
+        assert(spark.read.parquet(d.kept: _*).filter(col("seq").between(10, 20)).count() == 11L)
+      }
+    } finally {
+      graft.core.PathWalk.deleteRecursively(
+        java.nio.file.Paths.get(new java.io.File(rel).getAbsolutePath).getParent.getParent)
+    }
+  }
+
   test("init is create-exclusive; non-integral columns rejected") {
     val idx = tmpDir("fstatsidx")
     FileStatsIndex.init(spark, idx, Seq("seq"))
