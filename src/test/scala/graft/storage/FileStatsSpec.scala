@@ -204,6 +204,41 @@ class FileStatsSpec extends SparkSpec {
     assert(d.total == 0L && d.skipped == 0L, "no index ⇒ no decision, never an error")
   }
 
+  test("readWhereInRange: file list is the intersection of stats and month pruning; month-only fallback without an index") {
+    def ms(month: Int, day: Int = 1): Long = java.time.LocalDate.of(2023, month, day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val key = SeriesKey("EX", "SPOT", "SYM", "ticks", "tick")
+    import spark.implicits._
+    def lake(statsCols: Seq[String]): String = {
+      val root = tmpDir("fstats_range")
+      val rows = (0 until 6).flatMap { m =>
+        (0 until 100).map(i => (ms(m + 1) + i * 60000L, (m * 100 + i).toLong, i.toDouble))
+      }
+      new LakeWriter(spark, root, statsColumns = statsCols)
+        .writeTicks(rows.toDF("ts", "seq", "v"), key)
+      root
+    }
+    // seq ∈ [100,399] survives stats in Feb..Apr (3 files); ts ∈ Mar..Jun
+    // keeps 4 month dirs alone; the intersection is Mar..Apr (2 files)
+    val indexed = lake(Seq("seq"))
+    val (df, d) = new LakeReader(spark, indexed).readWhereInRange(
+      key, "seq", 100L, 399L, ms(3), ms(6, 30))
+    assert(d.total == 6L && d.kept.size == 2, s"kept=${d.kept.size} of ${d.total}")
+    assert(df.count() == 200L, "months Mar+Apr hold seq 200..399, all inside both ranges")
+
+    // no index: month pruning + row filters only — same rows, advisory
+    // empty decision, and the scan stays within the 4 ts months
+    val plain = lake(Seq.empty)
+    val (df2, d2) = new LakeReader(spark, plain).readWhereInRange(
+      key, "seq", 100L, 399L, ms(3), ms(6, 30))
+    assert(d2.total == 0L && d2.kept.isEmpty)
+    val probe = df2.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(probe.collect()(0).getLong(0) == 200L)
+    assert(graft.core.PlanInspect.filesRead(probe) <= 4L,
+      "month-dir pruning must bound the fallback scan to the ts months")
+  }
+
   test("relative dataDir under a hidden-named ancestor still lists, indexes, and skips (ADVICE r13)") {
     // the regression: the hidden-ancestor walk compared fully-qualified
     // listing paths against the RAW caller string by length, so an
