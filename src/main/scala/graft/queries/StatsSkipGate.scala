@@ -77,6 +77,44 @@ object StatsSkipGate {
       val second = FileStatsIndex.update(s, seriesDir, idx)
       require(second == 0,
         s"q94 premise: steady-state stats update must scan 0 new files ($second)")
+
+      // COMPOSED pruning premise (VERDICT r13 What's-missing #2 / task
+      // 3), checked ONCE per session like the steady-state no-op above:
+      // the declared seq band PLUS a ts range whose months only
+      // partially overlap it must open exactly the INTERSECTION of both
+      // file lists — strictly fewer files than either dimension alone
+      // keeps. The re-timestamp is exact (ts = T0 + seq·step), so the
+      // rows surviving both filters are computable in closed form and
+      // the row count is `require`d too, not just the file count.
+      val n = clicks.count()
+      val (sLo, sHi) = (n / 4, n / 2)
+      val step = Span / n
+      val (tLoSeq, tHiSeq) = (3 * n / 8, 3 * n / 4) // months ~9..18 of 24
+      val (tsLo, tsHi) = (T0 + tLoSeq * step, T0 + tHiSeq * step)
+      val reader = new LakeReader(s, lakeRoot)
+      val seqAlone = reader.readWhere(
+        SeriesKey("X", "M", "CLICK", "ticks", "tick"), "seq", sLo, sHi)._2
+      val (df2, both) = reader.readWhereInRange(
+        SeriesKey("X", "M", "CLICK", "ticks", "tick"), "seq", sLo, sHi, tsLo, tsHi)
+      val expectBoth = filesInMonths(seriesDir,
+        math.max(MonthKeys.monthKey(tsLo), MonthKeys.monthKey(T0 + sLo * step)),
+        math.min(MonthKeys.monthKey(tsHi), MonthKeys.monthKey(T0 + sHi * step)))
+      val tsAlone = filesInMonths(seriesDir,
+        MonthKeys.monthKey(tsLo), MonthKeys.monthKey(tsHi))
+      require(both.kept.size.toLong == expectBoth,
+        s"q94: composed decision kept ${both.kept.size} files, the seq∩ts months hold " +
+          s"$expectBoth — the intersection drifted")
+      require(both.kept.size.toLong < seqAlone.kept.size.toLong &&
+        both.kept.size.toLong < tsAlone,
+        s"q94: composed pruning (${both.kept.size}) must keep strictly fewer files than " +
+          s"seq alone (${seqAlone.kept.size}) and ts alone ($tsAlone)")
+      val probe2 = df2.agg(count(lit(1)).cast("long").as("n"))
+      val rows2 = probe2.collect()(0).getLong(0)
+      val expectRows2 = math.min(sHi, tHiSeq) - math.max(sLo, tLoSeq) + 1
+      require(rows2 == expectRows2,
+        s"q94: composed read returned $rows2 rows, expected $expectRows2")
+      require(PlanInspect.filesRead(probe2) <= both.kept.size.toLong,
+        s"q94: composed scan opened more files than its ${both.kept.size} survivors")
     }
     val seriesDir = s"$root/lake/exchange=X/market=M/symbol=CLICK/type=ticks/period=tick"
     Fixture(s"$root/lake", FileStatsIndex.seriesIndexRoot(seriesDir), seriesDir)
@@ -143,37 +181,6 @@ object StatsSkipGate {
     require(read <= decision.kept.size.toLong,
       s"q94: executed scan opened $read files > the ${decision.kept.size} survivors — " +
         "the skipping read is not planning over the pruned list")
-
-    // COMPOSED pruning premise (VERDICT r13 What's-missing #2 / task 3):
-    // the same seq band PLUS a ts range whose months only partially
-    // overlap it must open exactly the INTERSECTION of both file lists
-    // — strictly fewer files than either dimension alone keeps. The
-    // fixture's re-timestamp is exact (ts = T0 + seq·step), so the seq
-    // rows surviving both filters are computable in closed form and the
-    // row count is `require`d too, not just the file count.
-    val (tLoSeq, tHiSeq) = (3 * n / 8, 3 * n / 4) // months ~9..18 of 24
-    val (tsLo, tsHi) = (T0 + tLoSeq * step, T0 + tHiSeq * step)
-    val (df2, both) = reader.readWhereInRange(
-      SeriesKey("X", "M", "CLICK", "ticks", "tick"), "seq", sLo, sHi, tsLo, tsHi)
-    val expectBoth = filesInMonths(fx.seriesDir,
-      math.max(MonthKeys.monthKey(tsLo), MonthKeys.monthKey(T0 + sLo * step)),
-      math.min(MonthKeys.monthKey(tsHi), MonthKeys.monthKey(T0 + sHi * step)))
-    val tsAlone = filesInMonths(fx.seriesDir,
-      MonthKeys.monthKey(tsLo), MonthKeys.monthKey(tsHi))
-    require(both.kept.size.toLong == expectBoth,
-      s"q94: composed decision kept ${both.kept.size} files, the seq∩ts months hold " +
-        s"$expectBoth — the intersection drifted")
-    require(both.kept.size.toLong < decision.kept.size.toLong &&
-      both.kept.size.toLong < tsAlone,
-      s"q94: composed pruning (${both.kept.size}) must keep strictly fewer files than " +
-        s"seq alone (${decision.kept.size}) and ts alone ($tsAlone)")
-    val probe2 = df2.agg(count(lit(1)).cast("long").as("n"))
-    val rows2 = probe2.collect()(0).getLong(0)
-    val expectRows2 = math.min(sHi, tHiSeq) - math.max(sLo, tLoSeq) + 1
-    require(rows2 == expectRows2,
-      s"q94: composed read returned $rows2 rows, expected $expectRows2")
-    require(PlanInspect.filesRead(probe2) <= both.kept.size.toLong,
-      s"q94: composed scan opened more files than its ${both.kept.size} survivors")
     agg
   }
 
