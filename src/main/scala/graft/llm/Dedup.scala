@@ -535,9 +535,40 @@ object Dedup {
                               aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    pairs.select(col(blockCol).cast("long").as("_1"),
+    val edges = pairs.select(col(blockCol).cast("long").as("_1"),
         col(aCol).cast("long").as("_2"), col(bCol).cast("long").as("_3"))
       .as[(Long, Long, Long)]
+    // MAP-SIDE CONTRACTION (the two-level CC recipe): a τ-similarity
+    // graph in the dense regime carries O(|cluster|²) edges (measured
+    // 536 M at sf10), but connectivity per partition is captured by a
+    // SPANNING set of ≤ one edge per distinct (block, node). Running
+    // the same union-find per input partition first and emitting only
+    // (node → partition-local root) collapses the block shuffle from
+    // edge-count to node-count rows. ANY spanning subset yields the
+    // same components, and the block-level pass still unions by min
+    // root, so labels stay bit-identical to the uncontracted plan —
+    // partition boundaries cannot affect the result.
+    val contracted = edges.mapPartitions { it =>
+      val byBlock = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.LongMap[Long]]
+      def find(p: scala.collection.mutable.LongMap[Long], x0: Long): Long = {
+        var x = x0
+        while (p(x) != x) { p(x) = p(p(x)); x = p(x) }
+        x
+      }
+      it.foreach { case (blk, a, b) =>
+        val p = byBlock.getOrElseUpdate(blk, scala.collection.mutable.LongMap.empty[Long])
+        if (!p.contains(a)) p(a) = a
+        if (!p.contains(b)) p(b) = b
+        val ra = find(p, a); val rb = find(p, b)
+        if (ra < rb) p(rb) = ra else if (rb < ra) p(ra) = rb
+      }
+      byBlock.iterator.flatMap { case (blk, p) =>
+        val ids = p.keysIterator.toArray
+        ids.iterator.map(id => (blk, id, find(p, id)))
+      }
+    }
+    contracted
       .groupByKey(_._1)
       .flatMapGroups { (_, edges) =>
         val parent = scala.collection.mutable.LongMap.empty[Long]

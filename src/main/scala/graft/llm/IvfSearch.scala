@@ -90,11 +90,14 @@ object IvfSearch {
                            embCol: String = "embedding", nProbe: Int = 2): DataFrame = {
     val bc = broadcastCentroids(corpus.sparkSession, centroids)
     corpus
-      .withColumn("__probes",
+      .withColumn("probes",
         graft.functions.VectorFunctions.topnCosine(col(embCol), bc, nProbe))
-      .select(col("*"), posexplode(col("__probes")).as(Seq("__r", "cluster")))
+      .select(col("*"), posexplode(col("probes")).as(Seq("__r", "cluster")))
       .withColumn("probe_rank", col("__r") + 1)
-      .drop("__probes", "__r")
+      // `probes` (the vector's full probe set) is retained on every
+      // exploded row: the canonical pair rule (emit each pair only in
+      // MIN(probes_a ∩ probes_b)) needs both sides' sets at join time
+      .drop("__r")
   }
 
   /** Deterministic 60-bit md5 hash of the id (cross-engine: DuckDB

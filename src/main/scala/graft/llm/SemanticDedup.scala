@@ -54,37 +54,61 @@ object SemanticDedup {
   /** High-cosine pairs within each cluster of an assigned index
     * (`vec_id`, `embedding`, `cluster`): block-decomposed self-join,
     * ids normalized ascending.
+    *
+    * `probesCol`: for a MULTI-PROBE index (each vector exploded into
+    * its nProbe clusters, carrying its full probe set in this column),
+    * a pair sharing several probe clusters would surface — and pay its
+    * dot product — once PER shared cluster. Passing the probes column
+    * enables the canonical rule: emit the pair only in
+    * `MIN(probes_a ∩ probes_b)`, applied BEFORE the cosine, so every
+    * candidate pair is evaluated exactly once (measured ~2× at sf10,
+    * where near-duplicates overwhelmingly share both probes). The
+    * canonical cluster is a probe cluster of BOTH sides, so edges stay
+    * block-confined for the downstream component plan. The multi-probe
+    * output also carries `crosses` — whether the pair's RANK-1 clusters
+    * differ (probes are rank-ordered, so rank-1 is element 1) — computed
+    * at generation time so premise checks never need a join back to the
+    * assignment.
     */
   def semanticPairs(index: DataFrame, tau: Double,
-                    blockSize: Int = 1024, maxBlocks: Int = 16): DataFrame = {
-    val base = index.select(col("cluster"), col("vec_id").as("id"),
-      col("embedding").as("emb"), norm(col("embedding")).as("nrm"))
+                    blockSize: Int = 1024, maxBlocks: Int = 16,
+                    probesCol: Option[String] = None): DataFrame = {
+    val probeCols = probesCol.map(c => col(c).as("probes")).toSeq
+    val base = index.select(Seq(col("cluster"), col("vec_id").as("id"),
+      col("embedding").as("emb"), norm(col("embedding")).as("nrm")) ++ probeCols: _*)
     val counts = base.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
     val bk = base.join(counts, Seq("cluster"))
       .withColumn("k",
         least(lit(maxBlocks), ceil(col("cluster_n") / blockSize)).cast("int"))
     val para = index.sparkSession.sparkContext.defaultParallelism
     val joinKey = Seq(col("cluster"), col("ci"), col("cj"))
-    val a = bk
-      .withColumn("ci", pmod(col("id"), col("k")).cast("int"))
-      .withColumn("cj", explode(sequence(col("ci"), col("k") - 1)))
-      .select(col("cluster"), col("ci"), col("cj"),
-        col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("norm_a"))
-      .repartition(para, joinKey: _*)
-    val b = bk
-      .withColumn("cj", pmod(col("id"), col("k")).cast("int"))
-      .withColumn("ci", explode(sequence(lit(0), col("cj"))))
-      .select(col("cluster"), col("ci"), col("cj"),
-        col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("norm_b"))
-      .repartition(para, joinKey: _*)
-    a.join(b, Seq("cluster", "ci", "cj"))
+    def side(suffix: String, extra: DataFrame => DataFrame) = {
+      val pc = probesCol.map(_ => col("probes").as(s"probes_$suffix")).toSeq
+      extra(bk).select(Seq(col("cluster"), col("ci"), col("cj"),
+        col("id").as(s"id_$suffix"), col("emb").as(s"emb_$suffix"),
+        col("nrm").as(s"norm_$suffix")) ++ pc: _*)
+        .repartition(para, joinKey: _*)
+    }
+    val a = side("a", _.withColumn("ci", pmod(col("id"), col("k")).cast("int"))
+      .withColumn("cj", explode(sequence(col("ci"), col("k") - 1))))
+    val b = side("b", _.withColumn("cj", pmod(col("id"), col("k")).cast("int"))
+      .withColumn("ci", explode(sequence(lit(0), col("cj")))))
+    val joined = a.join(b, Seq("cluster", "ci", "cj"))
       .filter(col("ci") =!= col("cj") || col("id_a") < col("id_b"))
+    // canonical-cluster filter FIRST (cheap 2-element array intersect),
+    // so redundant pair surfaces never reach the dot product
+    val canon = probesCol.fold(joined)(_ => joined.filter(
+      array_min(array_intersect(col("probes_a"), col("probes_b"))) === col("cluster")))
+    val kept = canon
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= tau)
-      // cluster is retained: every pair is cluster-confined by the join
-      // key, and downstream component-finding exploits exactly that
-      .select(col("cluster"), least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+    val out = Seq(col("cluster"), least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"), col("sim")) ++
+      probesCol.map(_ =>
+        (element_at(col("probes_a"), 1) =!= element_at(col("probes_b"), 1)).as("crosses"))
+    // cluster is retained: every pair is cluster-confined by the join
+    // key, and downstream component-finding exploits exactly that
+    kept.select(out: _*)
   }
 
   /** Multi-probe variant (q96): each vector joins its `nProbe` nearest
@@ -112,7 +136,7 @@ object SemanticDedup {
     val centroids = IvfSearch.trainCentroids(corpus, k, iters, idCol, embCol)
     val multi = IvfSearch.buildIndexMultiProbe(
       corpus.select(col(idCol), col(embCol)), centroids, embCol, nProbe)
-    val pairs = semanticPairs(multi, tau)
+    val pairs = semanticPairs(multi, tau, probesCol = Some("probes"))
       .select("cluster", "id_a", "id_b")
     val groups = Dedup.blockBridgedComponents(pairs, blockCol = "cluster",
       aCol = "id_a", bCol = "id_b")

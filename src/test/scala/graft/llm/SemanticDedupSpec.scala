@@ -141,6 +141,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(gotDist == want, "distributed quotient fallback diverged from the local solve")
   }
 
+  test("canonical multi-probe pair rule: each pair exactly once, identical pair set to the duplicated form") {
+    // probesCol emits a pair only in MIN(probes_a ∩ probes_b); without
+    // it a pair sharing both probe clusters surfaces (and pays its dot
+    // product) twice. Same distinct pair set, zero duplicates.
+    val rnd = new scala.util.Random(31)
+    val corpus = vecs((0L until 80L).map(id => id -> Seq.fill(6)(rnd.nextGaussian().toFloat)))
+    val cents = IvfSearch.trainCentroids(corpus, k = 5, iters = 1)
+    val multi = IvfSearch.buildIndexMultiProbe(corpus, cents, nProbe = 2)
+    val tau = 0.1
+    val dup = SemanticDedup.semanticPairs(multi, tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val canon = SemanticDedup.semanticPairs(multi, tau, probesCol = Some("probes"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(canon.length == canon.distinct.length, "canonical form emitted a duplicate pair")
+    assert(canon.toSet == dup.toSet,
+      s"pair sets diverge: only-dup=${(dup.toSet -- canon.toSet).take(3)} " +
+        s"only-canon=${(canon.toSet -- dup.toSet).take(3)}")
+    assert(dup.length > canon.length,
+      "fixture must contain at least one pair sharing both probe clusters")
+  }
+
   test("TopNCosine/ArgmaxCosine NaN contract: NaN scores skipped, result truncated to real ids") {
     // ADVICE r13: a NaN score must never emit a fabricated centroid id
     // (the slot default 0). Three centroids with ids 7/8/9 — id 0 does
