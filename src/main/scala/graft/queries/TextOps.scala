@@ -163,7 +163,8 @@ object TextOps {
       s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, UNNEST(${TextHash.duckShingleHashes(3)}) AS shingle
          |  FROM documents),
-         |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $JaccardMaxDf),
+         |keep AS (SELECT shingle FROM sh GROUP BY shingle
+         |         HAVING COUNT(*) BETWEEN 2 AND $JaccardMaxDf),
          |shk AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
@@ -186,22 +187,23 @@ object TextOps {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash64(col("text"), 3)).as("shingle"))
-    // df cap pre-pass: count-only agg (no lists), then semi-join. Both
-    // the agg and the join shuffle on the same 8-byte shingle key, so
-    // AQE reuses the exchange rather than re-exploding the corpus.
-    val keep = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= JaccardMaxDf)
-      .select(col("shingle"))
     // |shingle set| = array size (the kernel already dedups): map-only,
     // instead of re-running the kernel + an explode + a groupBy shuffle
     val sizes = Tables.documents(s, d)
       .select(col("doc_id"),
         size(graft.functions.ShingleHash64(col("text"), 3)).cast("long").as("n"))
+    // Hot-shingle safety folded INTO the collect: [[BoundedLongSet]]
+    // caps the buffer at MaxDf values and finishes overflowing groups
+    // EMPTY, so the former count-only pre-pass + semi-join (a second
+    // corpus-wide shuffle of the exploded table) is gone while the
+    // pathological-key guarantee is identical — a shingle in 10^6 docs
+    // costs a 64-slot buffer and a boolean, never a collected list.
+    // The size filter keeps exactly df ∈ [2, MaxDf] (df=1 shingles
+    // produce no pairs; the oracle's HAVING applies the same band).
+    val bset = graft.functions.BoundedLongSet.udaf(JaccardMaxDf)
     val pairs = sh
-      .join(keep, Seq("shingle"), "left_semi")
-      .groupBy(col("shingle")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .groupBy(col("shingle")).agg(bset(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, JaccardMaxDf))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(slice(ids, i + 1, size(ids) - i),
