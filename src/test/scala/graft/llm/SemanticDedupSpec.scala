@@ -141,6 +141,13 @@ class SemanticDedupSpec extends SparkSpec {
     assert(gotDist == want, "distributed quotient fallback diverged from the local solve")
   }
 
+  test("blockBridgedComponents: empty edge set yields empty output (no NPE in the local quotient solve)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("cluster", "id_a", "id_b")
+    assert(Dedup.blockBridgedComponents(empty, "cluster",
+      aCol = "id_a", bCol = "id_b").count() == 0L)
+  }
+
   test("canonical multi-probe pair rule: each pair exactly once, identical pair set to the duplicated form") {
     // probesCol emits a pair only in MIN(probes_a ∩ probes_b); without
     // it a pair sharing both probe clusters surfaces (and pays its dot
