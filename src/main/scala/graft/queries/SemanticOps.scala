@@ -104,11 +104,13 @@ object SemanticOps {
     * structurally invisible (q95's spec pins that behavior). Here each
     * vector joins its 2 nearest clusters for pair generation (identical
     * ranking rule both engines: score DESC, cluster ASC), edges are
-    * deduped per probe cluster, and components run to full convergence
-    * via [[graft.llm.Dedup.blockBridgedComponents]]: in-task union-find
-    * per probe cluster (one shuffle — edges are cluster-confined by the
-    * join key), then the min-label fixed-point over only the
-    * cross-cluster quotient graph. The declared result adds `n_probe2` (how many
+    * generated once each (canonical shared cluster), and components run
+    * to full convergence via
+    * [[graft.llm.Dedup.blockBridgedComponents]]: in-task union-find per
+    * probe cluster (one shuffle — edges are cluster-confined by the
+    * join key, map-side contracted to node-count rows), then the
+    * cross-cluster quotient graph solved by a bounded driver union-find
+    * (distributed fixed-point past the bound). The declared result adds `n_probe2` (how many
     * vectors chose this cluster second), pinning the probe ranking
     * itself into the hash. Premise per execution: at least one
     * candidate pair crosses rank-1 clusters — the pairs q95 cannot see,
