@@ -20,7 +20,12 @@ object RunOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same input-sized auto-scaling as Bench: a decade-scale isolated
+      // run must see the SUITE's config, not a cpu-pinned one (the r14
+      // q43-sf100 lesson — 32 reduce partitions for a 74.5 G-pair
+      // shuffle wedged for 24+ min until manually overridden)
+      .config("spark.sql.shuffle.partitions",
+        Bench.autoShufflePartitions(sfDir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -648,31 +648,38 @@ object Dedup {
       .select(col("r_lo"), explode(col("roots")).as("r"))
       .filter(col("r_lo") < col("r"))
     // broadcast-small fast path (the BloomJoin/SimilaritySearch pattern):
-    // the collect is BOUNDED by the limit — up to `bridgeCollectMax`
-    // (long,long) rows ≈ 64 MB at the 4M default — and the driver
-    // union-find uses the identical union-by-min-root rule, so labels
-    // are bit-identical to the distributed fixed-point it replaces. The
-    // win is latency: the fixed-point pays O(rounds) scheduling barriers
-    // even on a 10-edge quotient graph (measured 2.3 s at sf0.1), the
-    // local solve is one collect job. Past the bound (cross-block links
-    // in the tens of millions) the distributed form takes over.
-    val probe = bridges.limit(bridgeCollectMax + 1).collect()
+    // a cheap count() gates the driver solve — bridges hangs off the
+    // CHECKPOINTED rootsPerDoc, so the count is a one-stage scan, and
+    // past the bound the full quotient graph never reaches the driver
+    // at all (the r14 probe paid the whole collect before discarding
+    // it). Under the bound, collect as a primitive Dataset[(Long,Long)]
+    // (specialized tuples, ~32 B/row ≈ 128 MB at the 4M default — not
+    // boxed Rows), run the identical union-by-min-root rule, and ship
+    // the labels back via parallelize + createDataset so a multi-million
+    // -row result rides task data, not a LocalRelation embedded (and
+    // re-serialized) inside every copy of the logical plan. Labels are
+    // bit-identical to the distributed fixed-point either way; the win
+    // is latency — the fixed-point pays O(rounds) scheduling barriers
+    // even on a 10-edge quotient graph (measured 2.3 s at sf0.1).
     val rootLabels =
-      if (probe.length <= bridgeCollectMax) {
+      if (bridges.count() <= bridgeCollectMax) {
+        val probe: Array[(Long, Long)] =
+          bridges.select(col("r_lo"), col("r")).as[(Long, Long)].collect()
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x0: Long): Long = {
           var x = x0
           while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
           x
         }
-        probe.foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
+        probe.foreach { case (a, b) =>
           if (!parent.contains(a)) parent(a) = a
           if (!parent.contains(b)) parent(b) = b
           val ra = find(a); val rb = find(b)
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
         }
-        parent.keysIterator.toArray.map(id => (id, find(id))).toSeq
+        val labeled = parent.keysIterator.toArray.map(id => (id, find(id)))
+        val slices = math.max(1, labeled.length / (1 << 20))
+        spark.createDataset(spark.sparkContext.parallelize(labeled.toIndexedSeq, slices))
           .toDF("__root", "__glabel")
       } else
         nearDupClustersFixedPoint(bridges, aCol = "r_lo", bCol = "r")

@@ -85,9 +85,19 @@ object IvfSearch {
     * face becomes a within-cluster candidate instead of being
     * structurally invisible. Cost: nProbe× the index rows (pair stage
     * ≤ nProbe²× — still Σ|cluster|², never N²).
+    *
+    * RESERVED OUTPUT NAMES: the result adds `probes` (the vector's full
+    * ordered probe set — the canonical pair rule needs both sides' sets
+    * at join time), `cluster`, and `probe_rank`. The input must not
+    * already carry any of these columns (a silent `withColumn`
+    * overwrite would corrupt the caller's data) — enforced by require.
     */
   def buildIndexMultiProbe(corpus: DataFrame, centroids: DataFrame,
                            embCol: String = "embedding", nProbe: Int = 2): DataFrame = {
+    Seq("probes", "cluster", "probe_rank").foreach { reserved =>
+      require(!corpus.columns.contains(reserved),
+        s"buildIndexMultiProbe reserves output column '$reserved'; rename or drop it on the input")
+    }
     val bc = broadcastCentroids(corpus.sparkSession, centroids)
     corpus
       .withColumn("probes",

@@ -27,6 +27,20 @@ class BoundedLongSetSpec extends SparkSpec {
     }
   }
 
+  test("duplicate inputs dedup on insert: overflow keys on DISTINCT cardinality, not row count") {
+    import spark.implicits._
+    // group 1: 3 distinct values, each repeated 40x (120 rows >> cap 8) — must survive;
+    // group 2: 9 distinct values (> cap 8), each repeated 2x — must overflow to empty
+    val rows =
+      (0 until 40).flatMap(_ => Seq(1L -> 10L, 1L -> 20L, 1L -> 30L)) ++
+      (0 until 2).flatMap(_ => (0 until 9).map(i => 2L -> (100L + i)))
+    val got = rows.toDF("g", "id").repartition(11)
+      .groupBy("g").agg(BoundedLongSet.udaf(8)(col("id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(10L, 20L, 30L), "duplicates must not trip the cap")
+    assert(got(2L).isEmpty, "9 distinct > cap 8 must overflow even with duplicates")
+  }
+
   test("q35 band semantics: bounded collect + size filter == count pre-pass + semi-join + collect") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
