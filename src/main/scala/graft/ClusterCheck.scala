@@ -69,6 +69,11 @@ object ClusterCheck {
     // q96: the TopNCosine broadcast kernel (multi-probe assignment)
     // crossing JVM boundaries, plus the cross-cluster fixed-point
     "q96_semantic_multiprobe",
+    // q97: the incremental-assign path — ArgmaxCosine against a LOADED
+    // (not just-trained) centroid frame broadcast to separate JVMs, the
+    // partition-pruned snapshot read, and the star-contracted
+    // union-find closure over (new edges ∪ persisted label edges)
+    "q97_semantic_incremental",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on

@@ -532,7 +532,25 @@ object Dedup {
     * canonical rule as min-label propagation at convergence.
     */
   def blockConfinedComponents(pairs: DataFrame, blockCol: String,
-                              aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+                              aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    componentsPerBlock(pairs, blockCol, aCol, bCol)
+      .select(col("doc_id"), col("root").as("cluster"),
+        (col("doc_id") === col("root")).as("is_canonical"))
+
+  /** [[blockConfinedComponents]] with the BLOCK retained on every output
+    * row (`block`, `doc_id`, `root`) — for callers that must route the
+    * labels back to block-local storage, e.g. [[SemanticIndex]]'s
+    * per-cluster label partitions. Identical components and identical
+    * min-id root rule; `blockConfinedComponents` is this plus a
+    * projection.
+    */
+  def blockConfinedComponentsKeyed(pairs: DataFrame, blockCol: String,
+                                   aCol: String = "doc_a",
+                                   bCol: String = "doc_b"): DataFrame =
+    componentsPerBlock(pairs, blockCol, aCol, bCol)
+
+  private def componentsPerBlock(pairs: DataFrame, blockCol: String,
+                                 aCol: String, bCol: String): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col(blockCol).cast("long").as("_1"),
@@ -570,7 +588,7 @@ object Dedup {
     }
     contracted
       .groupByKey(_._1)
-      .flatMapGroups { (_, edges) =>
+      .flatMapGroups { (blk, edges) =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x0: Long): Long = {
           var x = x0
@@ -589,12 +607,9 @@ object Dedup {
         // snapshot ids before the final finds: path compression mutates
         // the map, which must not race the keys iterator
         val ids = parent.keysIterator.toArray
-        ids.iterator.map { id =>
-          val root = find(id)
-          (id, root, id == root)
-        }
+        ids.iterator.map(id => (blk, id, find(id)))
       }
-      .toDF("doc_id", "cluster", "is_canonical")
+      .toDF("block", "doc_id", "root")
   }
 
   /** Connected components of a block-keyed edge set where every EDGE is

@@ -296,14 +296,26 @@ object IvfSearch {
     * seed-bucket modulus; everything downstream keys on the cluster ids
     * it produces.
     */
-  def duckIndexCtesK(kSql: String, iters: Int): String = {
+  def duckIndexCtesK(kSql: String, iters: Int): String =
+    duckIndexCtesTrainedK(kSql, iters, "TRUE")
+
+  /** [[duckIndexCtesK]] with the TRAINING corpus restricted to
+    * `embeddings WHERE trainPred` — the incremental-index shape (q97):
+    * seeds and every Lloyd refinement see only the training slice (the
+    * data that existed when [[SemanticIndex.init]] froze the
+    * centroids), while the final `idx` assigns the ENTIRE table against
+    * those frozen centroids — exactly what a sequence of
+    * [[SemanticIndex.ingest]] batches computes one batch at a time.
+    * `kSql` should likewise count only the training slice.
+    */
+  def duckIndexCtesTrainedK(kSql: String, iters: Int, trainPred: String): String = {
     val seed =
       s"""SELECT s.cluster, e.embedding AS centroid FROM (
          |  SELECT (${TextHash.duckMd5Long("vec_id::VARCHAR")} % ($kSql)) AS cluster,
          |         MIN(vec_id) AS mid
-         |  FROM embeddings GROUP BY 1) s
+         |  FROM embeddings WHERE $trainPred GROUP BY 1) s
          |JOIN embeddings e ON e.vec_id = s.mid""".stripMargin
-    def assignSql(cents: String): String =
+    def assignSql(cents: String, pred: String = "TRUE"): String =
       s"""SELECT vec_id, embedding, cluster FROM (
          |  SELECT e.vec_id, e.embedding, c.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -311,7 +323,7 @@ object IvfSearch {
          |        (CASE WHEN ${duckNorm("c.centroid")} = 0 THEN 1.0
          |              ELSE ${duckNorm("c.centroid")} END) DESC,
          |      c.cluster ASC) AS __rn
-         |  FROM embeddings e CROSS JOIN $cents c)
+         |  FROM embeddings e CROSS JOIN $cents c WHERE $pred)
          |WHERE __rn = 1""".stripMargin
     def update(assigned: String): String =
       s"""SELECT cluster, list(CAST(m AS REAL) ORDER BY dim) AS centroid FROM (
@@ -328,7 +340,9 @@ object IvfSearch {
 
     val lloydCtes = (0 until iters).flatMap { i =>
       val cents = if (i == 0) "seeds" else s"cent$i"
-      Seq(s"a${i + 1} AS (${assignSql(cents)})",
+      // Lloyd refinements see ONLY the training slice; the final idx
+      // assigns every row against the frozen centroids
+      Seq(s"a${i + 1} AS (${assignSql(cents, trainPred)})",
         s"cent${i + 1} AS (${update(s"a${i + 1}")})")
     }
     val finalCents = if (iters == 0) "seeds" else s"cent$iters"

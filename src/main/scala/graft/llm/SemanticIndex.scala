@@ -1,0 +1,307 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Embeddings.{dot, norm}
+
+/** Persisted INCREMENTAL semantic dedup — the q69/q93 ingest pattern
+  * (persisted LSH band index / bloom artifact) applied to embeddings,
+  * closing the last full-corpus rescan on the LLM surface (VERDICT r14
+  * What's-missing #1): [[SemanticDedup.dedup]] recomputes centroids,
+  * assignment, pairs, and components from scratch per run, while a real
+  * training-data pipeline ingests batches forever and cannot re-cluster
+  * 2 B vectors per cycle at 100 TB.
+  *
+  * Layout under `root` (all plain parquet — lake-portable):
+  *   - `meta.json` — frozen parameters (τ, Lloyd iters, k, the
+  *     init-time assignment-quality datum), written create-exclusive
+  *     like [[Dedup.initLshIndex]]: params are immutable for the life
+  *     of the index;
+  *   - `centroids/` — the quantizer, k×dim floats, trained ONCE at
+  *     [[init]] and frozen (staleness contract below);
+  *   - `index/cluster=N/` — assigned vectors (vec_id, embedding),
+  *     PARTITIONED BY cluster: a batch's pair join touches only its
+  *     affected clusters' directories (partition pruning), and appends
+  *     are pure file adds;
+  *   - `labels/cluster=N/` — component labels (doc_id, root) for every
+  *     vector that appears in a τ-edge, partitioned the same way;
+  *     vectors absent from labels/ are singletons (kept). Unaffected
+  *     clusters' label partitions are never rewritten.
+  *
+  * Per-batch cost — the whole point — is O(|batch| + Σ affected-cluster
+  * state), NEVER O(corpus): assignment is one broadcast-kernel map over
+  * the batch ([[graft.functions.VectorFunctions.argmaxCosine]], the
+  * same frozen-centroid kernel a full rebuild uses), the pair join
+  * reads only the batch's affected cluster partitions, and label
+  * maintenance contracts each affected cluster's EXISTING structure to
+  * its (node → root) star edges — prior τ-edges are never replayed —
+  * before one [[Dedup.blockConfinedComponentsKeyed]] pass over
+  * (new edges ∪ star edges). Star contraction preserves connectivity
+  * and the union-by-min-root rule keeps every component's label = its
+  * min member id, so after ingesting batches b1..bn the persisted
+  * decisions are BIT-IDENTICAL to a full rebuild against the same
+  * frozen centroids (spec: SemanticIndexSpec batches-vs-rebuild).
+  *
+  * CENTROID STALENESS CONTRACT: the quantizer is frozen at [[init]];
+  * the batches≡rebuild equality above always holds RELATIVE TO those
+  * centroids, so correctness never degrades — recall does, when new
+  * data drifts away from the trained distribution (vectors land in
+  * clusters whose members are not their nearest neighbors, and true
+  * duplicate pairs stop sharing a cluster). The measurable premise is
+  * assigned-quality drift: [[init]] records the training corpus's mean
+  * max-cosine-to-centroid in meta.json, and [[isStale]] flags a batch
+  * whose own mean falls more than `tolerance` below it (default 0.10).
+  * When flagged, the operator's contract is: retrain + full rebuild
+  * ([[SemanticDedup.dedup]] at the next maintenance window — the same
+  * compact-vs-ingest trade as q70's lake compaction); continuing to
+  * ingest is SAFE but under-merges new-regime duplicates. [[ingest]]
+  * warns to stderr rather than failing: a dedup pipeline must not
+  * reject data for being novel.
+  *
+  * Single-writer per index, like the LSH band index: serialize batch
+  * commits through catalog.PublishPrimitive in a multi-writer
+  * deployment.
+  */
+object SemanticIndex {
+
+  private val indexSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("cluster", IntegerType)))
+
+  private val labelSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("root", LongType),
+    StructField("cluster", IntegerType)))
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  final case class Meta(tau: Double, iters: Int, k: Int, initMeanSim: Double)
+
+  private def readMeta(spark: SparkSession, root: String): Meta = {
+    val (fs, _) = hadoopFs(spark, root)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/meta.json"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(k: String): String =
+      s""""$k"\\s*:\\s*([-0-9.eE]+)""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(s"$root/meta.json missing $k"))
+        .group(1)
+    Meta(field("tau").toDouble, field("iters").toInt, field("k").toInt,
+      field("init_mean_sim").toDouble)
+  }
+
+  /** Mean max-cosine of `df` against its assigned centroid — the
+    * assignment-quality datum the staleness contract compares. Empty
+    * input returns NaN (callers treat an empty batch as trivially
+    * fresh).
+    */
+  private def meanAssignedSim(assigned: DataFrame, centroids: DataFrame): Double = {
+    val r = assigned
+      .join(broadcast(centroids), Seq("cluster"))
+      .agg(avg(dot(col("embedding"), col("centroid")) /
+        (norm(col("embedding")) * norm(col("centroid")))).as("m"))
+      .head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** Train the frozen quantizer on `trainCorpus` and create the empty
+    * index. k follows [[SemanticDedup.adaptiveK]] on the TRAINING
+    * count (clusters sized ~`targetClusterSize`, so the pair stage
+    * stays Σ|cluster|² ≈ linear). Fails if the index already exists —
+    * parameters are immutable (rows assigned under different centroids
+    * must never share an index).
+    */
+  def init(spark: SparkSession, root: String, trainCorpus: DataFrame,
+           tau: Double, targetClusterSize: Long = 1024L, iters: Int = 1,
+           idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val train = trainCorpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val k = SemanticDedup.adaptiveK(train.count(), targetClusterSize)
+    val centroids = IvfSearch.trainCentroids(train, k, iters)
+    val initSim = meanAssignedSim(
+      IvfSearch.buildIndex(train, centroids), centroids)
+    val (fs, rootPath) = hadoopFs(spark, root)
+    fs.mkdirs(rootPath)
+    centroids.coalesce(1).write.mode("errorifexists").parquet(s"$root/centroids")
+    // meta LAST and create-exclusive: a half-initialized root (crash
+    // between centroid write and meta) reads as "no index" and a racing
+    // second initializer loses on the atomic create
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/meta.json"), false)
+    try out.write(
+      s"""{"tau":$tau,"iters":$iters,"k":$k,"init_mean_sim":$initSim}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Snapshot read of a cluster-partitioned subdir: enumerate the
+    * parquet files NOW and plan over exactly those paths (basePath
+    * keeps the partition column), so a same-call append can never leak
+    * into this read — the [[Dedup.minhashLshIncremental]] isolation
+    * rule.
+    */
+  private def snapshotPartitioned(spark: SparkSession, dir: String,
+                                  schema: StructType): DataFrame = {
+    val (fs, p) = hadoopFs(spark, dir)
+    val files =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("basePath", dir).parquet(files.toSeq: _*)
+  }
+
+  /** New τ-edges a batch introduces: new-vs-existing and new-vs-new,
+    * within the batch's AFFECTED clusters only, each pair exactly once
+    * (ids normalized ascending). Block-decomposed like
+    * [[SemanticDedup.semanticPairs]] — the all-rows side is split into
+    * ceil(n/blockSize) hash blocks (bounding any single join group) and
+    * each new row replicates across them, so a hot cluster fans out to
+    * independently-scheduled groups; the new side is batch-sized, so
+    * Catalyst broadcasts it when small (the ideal plan: the existing
+    * partitions are scanned in place, no corpus shuffle).
+    *
+    * Exactness of the once-each rule: an existing b-row lives in
+    * exactly one block and the a-side is new-only, so new-vs-existing
+    * surfaces once; new-vs-new surfaces in both orientations and the
+    * `is_new && id_a < id_b` filter keeps one.
+    */
+  def newPairs(assigned: DataFrame, existing: DataFrame, tau: Double,
+               blockSize: Int = 1024, maxBlocks: Int = 16): DataFrame = {
+    def prep(df: DataFrame, isNew: Boolean) =
+      df.select(col("cluster"), col("vec_id").as("id"),
+        col("embedding").as("emb"), norm(col("embedding")).as("nrm"),
+        lit(isNew).as("is_new"))
+    val allSide = prep(existing, isNew = false).unionByName(prep(assigned, isNew = true))
+    val counts = allSide.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    val withK = counts.withColumn("nblk",
+      least(lit(maxBlocks), ceil(col("cluster_n") / blockSize)).cast("int"))
+    val b = allSide.join(withK, Seq("cluster"))
+      .withColumn("blk", pmod(col("id"), col("nblk")).cast("int"))
+      .select(col("cluster"), col("blk"), col("id").as("id_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"), col("is_new"))
+    val a = prep(assigned, isNew = true).join(withK, Seq("cluster"))
+      .withColumn("blk", explode(sequence(lit(0), col("nblk") - 1)))
+      .select(col("cluster"), col("blk"), col("id").as("id_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    a.join(b, Seq("cluster", "blk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(!col("is_new") || col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= tau)
+      .select(col("cluster"), least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+  }
+
+  /** Ingest a NEW batch against the persisted index: assign it with the
+    * frozen-centroid broadcast kernel, find its τ-edges against
+    * (existing ∪ batch) within its affected clusters, update those
+    * clusters' component labels (star-contracted union-find — see
+    * object doc), and, with `append=true`, commit the batch's vectors
+    * and the affected clusters' rewritten labels. Returns the UPDATED
+    * per-vector decisions for every vector in an affected cluster:
+    * (vec_id, cluster, kept) — kept = singleton or component-min.
+    * `append=false` is a pure dry-run probe (bit-identical result, no
+    * state change) — the idempotent shape bench warm/timed passes need.
+    *
+    * Contract: vec_ids are globally unique across batches (re-ingesting
+    * an id double-counts it), and ids must not collide across batches
+    * in a way that changes component minima — i.e. the same contract as
+    * the LSH band index.
+    */
+  def ingest(newBatch: DataFrame, root: String, append: Boolean = true,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = newBatch.sparkSession
+    val meta = readMeta(spark, root)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val assigned = graft.core.Checkpoints.stable(IvfSearch.buildIndex(
+      newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      centroids, "embedding"))
+    val batchSim = meanAssignedSim(assigned, centroids)
+    if (!batchSim.isNaN && batchSim < meta.initMeanSim - StaleTolerance)
+      System.err.println(f"[semindex] STALE WARNING: batch mean assigned cosine " +
+        f"$batchSim%.4f vs init ${meta.initMeanSim}%.4f - retrain + rebuild advised " +
+        "(see SemanticIndex staleness contract)")
+
+    val affected = assigned.select("cluster").distinct()
+    // partition-pruned existing reads: the semi-join key IS the
+    // partition column, so at scale this is a directory-pruned scan
+    // (DPP under a broadcast plan), never a corpus read
+    val existing = snapshotPartitioned(spark, s"$root/index", indexSchema)
+      .join(broadcast(affected), Seq("cluster"), "left_semi")
+    val oldLabels = snapshotPartitioned(spark, s"$root/labels", labelSchema)
+      .join(broadcast(affected), Seq("cluster"), "left_semi")
+
+    val edges = newPairs(assigned, existing, meta.tau)
+      .select(col("cluster"), col("id_a"), col("id_b"))
+      // star edges contract each affected cluster's existing structure:
+      // connectivity-equivalent to its full historical edge set
+      .unionByName(oldLabels.select(col("cluster"),
+        col("doc_id").as("id_a"), col("root").as("id_b")))
+    val newLabels = graft.core.Checkpoints.stable(
+      Dedup.blockConfinedComponentsKeyed(edges, blockCol = "cluster",
+        aCol = "id_a", bCol = "id_b")
+        .select(col("block").cast("int").as("cluster"), col("doc_id"), col("root")))
+
+    if (append) {
+      assigned.write.mode("append").partitionBy("cluster").parquet(s"$root/index")
+      // dynamic overwrite: ONLY the affected clusters' label partitions
+      // are replaced (newLabels re-emits their full membership — star
+      // edges are inputs); unaffected partitions are untouched files.
+      // newLabels is checkpointed above, so the write never reads the
+      // directory it is replacing.
+      newLabels.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(s"$root/labels")
+    }
+
+    existing.select("cluster", "vec_id").unionByName(assigned.select("cluster", "vec_id"))
+      .join(newLabels.select(col("cluster"), col("doc_id").as("vec_id"), col("root")),
+        Seq("cluster", "vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (col("root").isNull || col("root") === col("vec_id")).as("kept"))
+  }
+
+  private val StaleTolerance = 0.10
+
+  /** The init-time assignment-quality datum (mean max-cosine of the
+    * training corpus against its frozen centroids) — the baseline the
+    * staleness contract compares every batch to.
+    */
+  def initQuality(spark: SparkSession, root: String): Double =
+    readMeta(spark, root).initMeanSim
+
+  /** The staleness probe as a standalone check (the contract's premise,
+    * runnable before committing a batch): true when the batch's mean
+    * assigned cosine drifts more than `tolerance` below the init-time
+    * value recorded in meta.json.
+    */
+  def isStale(newBatch: DataFrame, root: String, tolerance: Double = StaleTolerance,
+              idCol: String = "vec_id", embCol: String = "embedding"): Boolean = {
+    val spark = newBatch.sparkSession
+    val meta = readMeta(spark, root)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val sim = meanAssignedSim(IvfSearch.buildIndex(
+      newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      centroids, "embedding"), centroids)
+    !sim.isNaN && sim < meta.initMeanSim - tolerance
+  }
+
+  /** The persisted dedup decisions for the WHOLE ingested corpus:
+    * (vec_id, cluster, kept). A pure read — index rows left-joined to
+    * their cluster's label partition.
+    */
+  def decisions(spark: SparkSession, root: String): DataFrame =
+    snapshotPartitioned(spark, s"$root/index", indexSchema)
+      .join(snapshotPartitioned(spark, s"$root/labels", labelSchema)
+        .select(col("cluster"), col("doc_id").as("vec_id"), col("root")),
+        Seq("cluster", "vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (col("root").isNull || col("root") === col("vec_id")).as("kept"))
+}

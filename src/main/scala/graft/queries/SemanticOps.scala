@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, IvfSearch, SemanticDedup}
+import graft.llm.{Dedup, IvfSearch, SemanticDedup, SemanticIndex}
 
 /** q95: semantic dedup (SemDeDup) under the oracle — the embedding-space
   * dedup pass a training pipeline runs AFTER n-gram dedup, catching
@@ -214,5 +214,112 @@ object SemanticOps {
       .orderBy("ivf_cluster")
   }
 
-  val all: Seq[Q] = Seq(semanticDedup, semanticDedupMultiProbe)
+  // Corpus-adaptive K for the INCREMENTAL index (q97): derived from the
+  // TRAINING slice's count — the data that existed when the centroids
+  // were frozen — on both engines
+  private val KSqlTrain =
+    s"(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / $TargetCluster.0) AS BIGINT)) " +
+      "FROM embeddings WHERE vec_id % 4 <> 0)"
+
+  /** q97's persisted semantic index, built ONCE per (session, data dir):
+    * [[SemanticIndex.init]] freezes centroids trained on the "existing
+    * corpus" slice (vec_id % 4 != 0), then that slice is ingested in
+    * THREE incremental appends (%8==1, %8==5, %4 in (2,3) — the q69
+    * batch shape), so the persisted labels the gated read composes with
+    * were themselves produced by the star-contracted incremental path,
+    * never a full rebuild. Every later call — including every timed
+    * bench pass — runs only the production ingest probe: assign the new
+    * batch against the frozen centroids, pair-join it inside its
+    * affected clusters, update those clusters' components. Temp roots
+    * are reaped at JVM exit.
+    */
+  private def persistedSemRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_semidx_") { root =>
+      val corpus = Tables.embeddings(s, d)
+      SemanticIndex.init(s, root, corpus.filter(col("vec_id") % 4 =!= 0),
+        Tau, TargetCluster.toLong, Iters)
+      SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 1), root).count()
+      SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 5), root).count()
+      SemanticIndex.ingest(
+        corpus.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3), root).count()
+    }
+
+  /** q97: INCREMENTAL semantic dedup against the persisted index — the
+    * q69/q93 ingest pattern applied to embeddings, closing the last
+    * full-corpus rescan on the LLM surface. The NEW batch (vec_id % 4
+    * == 0) is assigned with the frozen-centroid broadcast kernel,
+    * pair-joined ONLY inside its affected clusters against the
+    * partition-pruned persisted index, and the affected clusters'
+    * component labels are updated by star-contracted union-find —
+    * O(|batch| + affected-cluster state) per cycle, never O(corpus).
+    * The declared result is the FULL corpus's per-cluster dedup
+    * aggregate (persisted decisions for unaffected clusters ∪ the
+    * updated decisions), plus `n_new_kept` (kept batch vectors per
+    * cluster) pinning the batch's own outcome — so the hash gate IS the
+    * batches≡rebuild theorem: the oracle replays one monolithic
+    * frozen-centroid rebuild (train Lloyd on the %4!=0 slice, assign
+    * everything, all within-cluster τ-pairs, full recursive closure)
+    * and any divergence anywhere in the incremental lineage (three
+    * appends + the probe) is a red row. Centroid staleness contract:
+    * see [[graft.llm.SemanticIndex]] — the batch here is
+    * same-distribution, so the frozen quantizer is valid by
+    * construction.
+    */
+  val semanticIncremental: Q = Q(
+    "q97_semantic_incremental",
+    s"""WITH RECURSIVE ${IvfSearch.duckIndexCtesTrainedK(KSqlTrain, Iters, "vec_id % 4 <> 0")},
+       |bn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cluster, ${duckNorm("embedding")} AS nrm
+       |  FROM idx),
+       |edges AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bn a JOIN bn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $Tau),
+       |edgesu AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM edges
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT x AS id, x AS label FROM edgesu
+       |  UNION
+       |  SELECT e.x AS id, l.label FROM lab l JOIN edgesu e ON e.y = l.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(label) AS label FROM lab GROUP BY id)
+       |  WHERE id <> label)
+       |SELECT CAST(i.cluster AS BIGINT) AS ivf_cluster,
+       |       COUNT(*) AS n_members,
+       |       CAST(COUNT(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids,
+       |       CAST(COUNT(*) FILTER (WHERE i.vec_id % 4 = 0 AND d.id IS NULL) AS BIGINT) AS n_new_kept
+       |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = persistedSemRoot(s, d)
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    // append=false: the probe is a pure read of the ingest plan, so
+    // warmup + timed + verify executions are idempotent; two actions
+    // traverse it (premise + result agg) — checkpoint once
+    val upd = graft.core.Checkpoints.stable(
+      SemanticIndex.ingest(batch, root, append = false))
+    val aff = upd.select("cluster").distinct()
+    val full = graft.core.Checkpoints.stable(
+      SemanticIndex.decisions(s, root)
+        .join(aff, Seq("cluster"), "left_anti")
+        .unionByName(upd))
+    val p = full.agg(count(lit(1)).as("total"),
+      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
+      coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L)).as("batch_n")).head()
+    require(p.getLong(2) >= 1, "q97 premise: the new batch is empty")
+    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
+      s"q97 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
+    full
+      .groupBy(col("cluster").cast("long").as("ivf_cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"),
+        coalesce(sum(when(col("kept") && col("vec_id") % 4 === 0, 1L)), lit(0L))
+          .cast("long").as("n_new_kept"))
+      .orderBy("ivf_cluster")
+  }
+
+  val all: Seq[Q] = Seq(semanticDedup, semanticDedupMultiProbe,
+    semanticIncremental.gated)
 }

@@ -1,0 +1,178 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted-semantic-index contract (the q69 band-index invariants
+  * re-proven for embeddings): ingesting a partition of the corpus batch
+  * by batch must leave decisions BIT-IDENTICAL to a full rebuild
+  * against the same frozen centroids; every τ-edge is discovered
+  * exactly once, in the batch where its second member arrives;
+  * `append=false` is a pure dry-run; unaffected clusters' label
+  * partitions are never rewritten.
+  */
+class SemanticIndexSpec extends SparkSpec {
+
+  private val Tau = 0.35
+  private val Dir = "/root/testdata/sf0.01"
+
+  private def corpus = graft.Tables.embeddings(spark, Dir)
+    .select(col("vec_id"), col("embedding"))
+
+  private def decisionSet(df: DataFrame): Set[(Long, Int, Boolean)] =
+    df.select(col("vec_id"), col("cluster").cast("int"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+
+  private def pairSet(df: DataFrame): Set[(Int, Long, Long)] =
+    df.select(col("cluster").cast("int"), col("id_a"), col("id_b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Frozen-centroid full rebuild — the comparator every incremental
+    * sequence must match (same train slice, same τ).
+    */
+  private def rebuild(train: DataFrame, all: DataFrame): (DataFrame, DataFrame) = {
+    val k = SemanticDedup.adaptiveK(train.count())
+    val centroids = IvfSearch.trainCentroids(train, k, iters = 1)
+    val index = IvfSearch.buildIndex(all, centroids, "embedding")
+    val pairs = SemanticDedup.semanticPairs(index, Tau)
+    val groups = Dedup.blockConfinedComponents(pairs, blockCol = "cluster",
+      aCol = "id_a", bCol = "id_b")
+    val decisions = index
+      .join(groups.select(col("doc_id").as("vec_id"), col("is_canonical")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_canonical"), lit(true)).as("kept"))
+    (decisions, pairs)
+  }
+
+  test("batches over a partition of the corpus == frozen-centroid full rebuild, bit-equal") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val (rebuilt, _) = rebuild(train, corpus)
+    val expected = decisionSet(rebuilt)
+    assert(expected.exists(!_._3), "test premise: the corpus must contain semantic dups")
+
+    val root = tmpDir("sem_idx")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 1), root).count()
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 5), root).count()
+    SemanticIndex.ingest(
+      corpus.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3), root).count()
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 4 === 0), root).count()
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "incremental decisions diverged from the frozen-centroid rebuild")
+  }
+
+  test("every τ-edge discovered exactly once, in the batch where its second member arrives") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val k = SemanticDedup.adaptiveK(train.count())
+    val centroids = IvfSearch.trainCentroids(train, k, iters = 1)
+    val full = pairSet(SemanticDedup.semanticPairs(
+      IvfSearch.buildIndex(corpus, centroids, "embedding"), Tau))
+    assert(full.nonEmpty, "test premise: the corpus must contain τ-pairs")
+
+    val batches = Seq(
+      corpus.filter(col("vec_id") % 4 === 1),
+      corpus.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3),
+      corpus.filter(col("vec_id") % 4 === 0))
+    var existing = IvfSearch.buildIndex(corpus, centroids, "embedding").limit(0)
+    val perBatch = batches.map { b =>
+      val assigned = IvfSearch.buildIndex(b, centroids, "embedding")
+      val p = pairSet(SemanticIndex.newPairs(assigned, existing, Tau))
+      existing = existing.unionByName(assigned)
+      p
+    }
+    assert(perBatch.map(_.size).sum == perBatch.reduce(_ union _).size,
+      "a τ-edge was discovered in more than one batch")
+    assert(perBatch.reduce(_ union _) == full,
+      s"incremental union ${perBatch.map(_.size).sum} != full ${full.size}")
+  }
+
+  test("append=false is a pure dry-run: identical result, no state change") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_ro")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    def stateFiles(): Set[String] = {
+      def walk(d: java.io.File): Seq[String] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f.getPath + ":" + f.lastModified))
+      walk(new java.io.File(root)).toSet
+    }
+    val before = stateFiles()
+    val batch = corpus.filter(col("vec_id") % 4 === 0)
+    val r1 = decisionSet(SemanticIndex.ingest(batch, root, append = false))
+    val r2 = decisionSet(SemanticIndex.ingest(batch, root, append = false))
+    assert(r1 == r2, "dry-run must be deterministic across calls")
+    assert(stateFiles() == before, "append=false must not touch index state")
+  }
+
+  test("append rewrites ONLY affected clusters' label partitions") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_part")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    // a single-vector batch: exactly one affected cluster
+    val batch = corpus.filter(col("vec_id") % 4 === 0).orderBy("vec_id").limit(1)
+    val affected = SemanticIndex.ingest(batch, root, append = false)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    val labelDirs = Option(new java.io.File(s"$root/labels").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("cluster="))
+    val untouched = labelDirs.filterNot(d =>
+      affected(d.getName.stripPrefix("cluster=").toInt))
+    assume(untouched.nonEmpty, "need at least one unaffected labeled cluster")
+    def snap(d: java.io.File): Set[String] =
+      d.listFiles().map(f => f.getPath + ":" + f.lastModified).toSet
+    val before = untouched.map(snap)
+    SemanticIndex.ingest(batch, root).count()
+    assert(untouched.map(snap) == before,
+      "an unaffected cluster's label partition was rewritten")
+  }
+
+  test("init is create-exclusive: params are immutable per index") {
+    val root = tmpDir("sem_idx_excl")
+    SemanticIndex.init(spark, root, corpus.limit(50), Tau)
+    intercept[Exception](SemanticIndex.init(spark, root, corpus.limit(50), 0.9))
+  }
+
+  test("staleness contract: in-distribution batch fresh, centroid-orthogonal batch stale") {
+    import spark.implicits._
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_stale")
+    SemanticIndex.init(spark, root, train, Tau)
+    val q0 = SemanticIndex.initQuality(spark, root)
+    assert(q0 > 0, s"init quality must be positive, got $q0")
+    val inDist = corpus.filter(col("vec_id") % 4 === 0)
+    assert(!SemanticIndex.isStale(inDist, root, tolerance = q0 * 0.5),
+      "a same-distribution batch must not flag stale")
+    // the worst drift: a batch ORTHOGONAL to every frozen centroid —
+    // assigned cosine ~0, so the drop below q0 is maximal by construction
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").map(_.toDouble).toArray)
+    val dim = cents.head.length
+    val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    def projOut(v: Array[Double]): Array[Double] = {
+      val r = v.clone()
+      basis.foreach { b =>
+        val d = r.indices.map(i => r(i) * b(i)).sum
+        r.indices.foreach(i => r(i) -= d * b(i))
+      }
+      r
+    }
+    def tryAdd(v: Array[Double]): Option[Array[Double]] = {
+      val r = projOut(v)
+      val n = math.sqrt(r.map(x => x * x).sum)
+      if (n > 1e-6) Some(r.map(_ / n)) else None
+    }
+    cents.foreach(c => tryAdd(c).foreach(basis += _))
+    val ortho = (0 until dim).iterator
+      .map(j => tryAdd(Array.tabulate(dim)(i => if (i == j) 1.0 else 0.0)))
+      .collectFirst { case Some(v) => v }
+      .getOrElse(fail("centroids span the whole space — can't build the fixture"))
+    val drifted = Seq.tabulate(8)(i =>
+      (1000000L + i, ortho.map(x => (x * (i + 1)).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    assert(SemanticIndex.isStale(drifted, root, tolerance = q0 * 0.5),
+      "a centroid-orthogonal batch must flag stale")
+  }
+}
