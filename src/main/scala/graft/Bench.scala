@@ -2,6 +2,48 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Relaunch the current main in a child JVM with `-XX:+UseParallelGC`
+    * when the parent wasn't given it. The bench surface is
+    * allocation-bound (billions of short-lived shuffle/join rows per
+    * suite), and measured on this box the collector choice is the
+    * single biggest harness knob: the full sf0.1 suite runs 47.5 s
+    * under default G1 vs 35.1 s under ParallelGC (−26%), and q43's
+    * sf100 isolated run drops 704 → 366–374 s (G1's 392–719 s band was
+    * GCLocker-retry churn, not the plan — BASELINE.md round-15). A
+    * spark-submit deployment would set the same flag via
+    * `--driver-java-options`/executor opts; a bare `java -cp` harness
+    * (this repo's driver) gets it from this launcher shim instead, so
+    * recorded bench artifacts measure the engine, not the default
+    * collector's worst case.
+    *
+    * Returns true when a child ran (the parent must exit). Skipped —
+    * runs in-JVM as before — when: the flag is already present, the
+    * escape hatch SPARK_GRAFT_REEXEC=0 is set, we ARE the child, or
+    * the classpath doesn't look like the documented java -cp shape
+    * (jar plus the spark jars dir — e.g. under an sbt-launcher
+    * classloader a child JVM couldn't resolve our classes).
+    */
+  def reexecWithParallelGC(mainClass: String, args: Array[String]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    if (sys.env.contains("GRAFT_BENCH_CHILD")) return false
+    if (sys.env.get("SPARK_GRAFT_REEXEC").contains("0")) return false
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    if (jvmArgs.exists(_.contains("UseParallelGC"))) return false
+    val cp = System.getProperty("java.class.path", "")
+    if (!cp.toLowerCase.contains("spark")) return false
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++
+      jvmArgs.filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent")) ++
+      Seq("-XX:+UseParallelGC", "-cp", cp, mainClass) ++ args
+    System.err.println(s"[bench] re-exec with -XX:+UseParallelGC (SPARK_GRAFT_REEXEC=0 disables)")
+    val pb = new ProcessBuilder(cmd.asJava).inheritIO()
+    pb.environment().put("GRAFT_BENCH_CHILD", "1")
+    val code = pb.start().waitFor()
+    if (code != 0) sys.exit(code)
+    true
+  }
+
   /** Scan-split size for a local run: small enough that a single-file
     * table parallelizes across local cores, but left at Spark's 128 MB
     * default when the inputs are tiny (sub-decade SFs) where extra
@@ -35,6 +77,7 @@ object Bench {
     })
 
   def main(args: Array[String]): Unit = {
+    if (reexecWithParallelGC("graft.Bench", args)) return
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // comma-separated query names: time only those (iteration aid; the

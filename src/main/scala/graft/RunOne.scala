@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
+    // same collector shim as Bench: isolated runs stay same-config as
+    // the suite (allocation-bound — see Bench.reexecWithParallelGC)
+    if (Bench.reexecWithParallelGC("graft.RunOne", args)) return
     val sfDir = args(0)
     val name = args(1)
     val explain = args.contains("--explain")
@@ -68,13 +71,17 @@ object RunOne {
       val n = lastDf.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[runone] $name run $i: $dt%.2f s, $n rows")
-      graft.core.Checkpoints.freeAll()
+      // keep the final run's localCheckpoint blocks alive when the plan
+      // is about to be re-executed for --explain: a checkpointed
+      // sub-plan cannot recompute after freeAll
+      if (i < runs || !explain) graft.core.Checkpoints.freeAll()
     }
     if (explain && lastDf != null) {
       // count() above executed a separate plan; execute THIS df so the
       // printed plan is the final AQE-re-planned one
       lastDf.queryExecution.toRdd.count()
       println(lastDf.queryExecution.executedPlan.toString)
+      graft.core.Checkpoints.freeAll()
     }
     spark.stop()
   }

@@ -141,14 +141,27 @@ object SemanticIndex {
     * parquet files NOW and plan over exactly those paths (basePath
     * keeps the partition column), so a same-call append can never leak
     * into this read — the [[Dedup.minhashLshIncremental]] isolation
-    * rule.
+    * rule. With `onlyClusters` set, ONLY those `cluster=N` directories
+    * are listed — EXPLICIT partition pruning, enforced at file-listing
+    * time rather than left to the optimizer's dynamic-pruning
+    * heuristics (measured at sf100: a single-cluster batch's ingest was
+    * paying two full 2 M-row index scans through the semi-join form
+    * this replaces).
     */
   private def snapshotPartitioned(spark: SparkSession, dir: String,
-                                  schema: StructType): DataFrame = {
+                                  schema: StructType,
+                                  onlyClusters: Option[Set[Int]] = None): DataFrame = {
     val (fs, p) = hadoopFs(spark, dir)
+    def wanted(d: org.apache.hadoop.fs.FileStatus): Boolean = onlyClusters match {
+      case None => true
+      case Some(keep) =>
+        val name = d.getPath.getName
+        name.startsWith("cluster=") &&
+          scala.util.Try(name.stripPrefix("cluster=").toInt).toOption.exists(keep)
+    }
     val files =
       if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).filter(_.isDirectory).flatMap(d =>
+      else fs.listStatus(p).filter(_.isDirectory).filter(wanted).flatMap(d =>
         fs.listStatus(d.getPath)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString))
@@ -229,14 +242,17 @@ object SemanticIndex {
         f"$batchSim%.4f vs init ${meta.initMeanSim}%.4f - retrain + rebuild advised " +
         "(see SemanticIndex staleness contract)")
 
-    val affected = assigned.select("cluster").distinct()
-    // partition-pruned existing reads: the semi-join key IS the
-    // partition column, so at scale this is a directory-pruned scan
-    // (DPP under a broadcast plan), never a corpus read
-    val existing = snapshotPartitioned(spark, s"$root/index", indexSchema)
-      .join(broadcast(affected), Seq("cluster"), "left_semi")
-    val oldLabels = snapshotPartitioned(spark, s"$root/labels", labelSchema)
-      .join(broadcast(affected), Seq("cluster"), "left_semi")
+    // the affected-cluster set, collected: bounded by min(|batch|, k) —
+    // the same boundedness class as the centroid collect (k ids is a
+    // few MB even at a 2 B-vector corpus's k≈2M) — and worth the driver
+    // round-trip because it prunes the existing-side FILE LISTING
+    // outright instead of betting on dynamic partition pruning
+    val affected: Set[Int] =
+      assigned.select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    val existing = snapshotPartitioned(spark, s"$root/index", indexSchema,
+      Some(affected))
+    val oldLabels = snapshotPartitioned(spark, s"$root/labels", labelSchema,
+      Some(affected))
 
     val edges = newPairs(assigned, existing, meta.tau)
       .select(col("cluster"), col("id_a"), col("id_b"))
