@@ -152,12 +152,14 @@ object SemanticIndex {
                                   schema: StructType,
                                   onlyClusters: Option[Set[Int]] = None): DataFrame = {
     val (fs, p) = hadoopFs(spark, dir)
-    def wanted(d: org.apache.hadoop.fs.FileStatus): Boolean = onlyClusters match {
-      case None => true
-      case Some(keep) =>
-        val name = d.getPath.getName
-        name.startsWith("cluster=") &&
-          scala.util.Try(name.stripPrefix("cluster=").toInt).toOption.exists(keep)
+    // strictly `cluster=<int>` dirs, whether or not a subset was asked
+    // for: anything else under the root (a stray marker, a crashed
+    // maintenance leftover) must never reach the partition parser
+    def wanted(d: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val name = d.getPath.getName
+      name.startsWith("cluster=") &&
+        scala.util.Try(name.stripPrefix("cluster=").toInt).toOption
+          .exists(c => onlyClusters.forall(_.contains(c)))
     }
     val files =
       if (!fs.exists(p)) Array.empty[String]
@@ -282,6 +284,94 @@ object SemanticIndex {
         Seq("cluster", "vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         (col("root").isNull || col("root") === col("vec_id")).as("kept"))
+  }
+
+  /** Compact the persisted index: every [[ingest]] appends one file set
+    * per affected `index/cluster=N/` partition (and the dynamic label
+    * overwrite can leave several files per partition), so after many
+    * batches each cluster read is a small-files scan — the same disease
+    * [[Dedup.compactLshIndex]] and q70's `compactSeries` cure for the
+    * band index and the lake. This is the PARTITIONED variant: only
+    * cluster dirs whose file count exceeds max(`maxFilesPerPartition`,
+    * their size-proportional floor at `bytesPerFile`) are rewritten —
+    * O(oversize partitions), never O(index) — in ONE Spark job
+    * (range-partitioned on (cluster, id) so a giant cluster splits
+    * across tasks instead of funnelling through one sort, while typical
+    * clusters land in a single task ⇒ a single file), staged to
+    * `<sub>.compacting/cluster=N/` and swapped per cluster with the
+    * park-and-swap renames of [[Dedup.compactLshIndex]] (old partition
+    * parked in `<sub>.trash/` until the staged one is live; the index
+    * is never the only copy mid-swap; crash leftovers are reaped on the
+    * next call — both staging dirs are SIBLINGS of the live dir, and
+    * [[snapshotPartitioned]] only ever reads `cluster=<int>` dirs, so a
+    * crashed compaction can never leak into a read). Rows are sorted by
+    * id within partitions so row groups RLE-compress and min/max prune.
+    *
+    * Same single-writer contract as [[ingest]]: run it between batches,
+    * not during one. Decisions are BIT-INVARIANT under compaction
+    * (spec: SemanticIndexSpec; and q97's fixture compacts mid-sequence
+    * with the hash gate downstream). Returns (filesBefore, filesAfter)
+    * summed over index/ + labels/; a no-op returns equal counts.
+    */
+  def compact(spark: SparkSession, root: String, maxFilesPerPartition: Int = 1,
+              bytesPerFile: Long = 256L << 20): (Long, Long) = {
+    readMeta(spark, root) // fail fast on a non-index dir
+    val (fs, _) = hadoopFs(spark, root)
+
+    def compactSub(sub: String, schema: StructType, idCol: String): (Long, Long) = {
+      val dir = s"$root/$sub"
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val staged = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+      val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
+      fs.delete(staged, true); fs.delete(trash, true) // crash leftovers
+      if (!fs.exists(live)) return (0L, 0L)
+      val clusters: Array[(Int, Array[org.apache.hadoop.fs.FileStatus])] =
+        fs.listStatus(live).filter(_.isDirectory).flatMap { d =>
+          val name = d.getPath.getName
+          if (!name.startsWith("cluster=")) None
+          else scala.util.Try(name.stripPrefix("cluster=").toInt).toOption.map { c =>
+            c -> fs.listStatus(d.getPath)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          }
+        }
+      val before = clusters.map(_._2.length.toLong).sum
+      val oversize = clusters.filter { case (_, files) =>
+        val target = math.max(maxFilesPerPartition.toLong,
+          files.map(_.getLen).sum / bytesPerFile + 1)
+        files.length > target
+      }
+      if (oversize.isEmpty) return (before, before)
+      val keep = oversize.map(_._1).toSet
+      val bytes = oversize.map(_._2.map(_.getLen).sum).sum
+      val parts = math.max(1, (bytes / bytesPerFile).toInt + 1)
+      snapshotPartitioned(spark, dir, schema, Some(keep))
+        .repartitionByRange(parts, col("cluster"), col(idCol))
+        .sortWithinPartitions(col("cluster"), col(idCol))
+        .write.partitionBy("cluster").mode("overwrite").parquet(staged.toString)
+      fs.mkdirs(trash)
+      oversize.foreach { case (c, _) =>
+        val stagedC = new org.apache.hadoop.fs.Path(staged, s"cluster=$c")
+        if (fs.exists(stagedC)) { // zero-row partitions never stage; keep live
+          val liveC = new org.apache.hadoop.fs.Path(live, s"cluster=$c")
+          if (!fs.rename(liveC, new org.apache.hadoop.fs.Path(trash, s"cluster=$c")))
+            throw new java.io.IOException(s"compact: cannot park $liveC")
+          if (!fs.rename(stagedC, liveC)) { // restore — stay readable
+            fs.rename(new org.apache.hadoop.fs.Path(trash, s"cluster=$c"), liveC)
+            throw new java.io.IOException(s"compact: swap failed for $liveC")
+          }
+        }
+      }
+      fs.delete(staged, true); fs.delete(trash, true)
+      val after = fs.listStatus(live).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("cluster="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong).sum
+      (before, after)
+    }
+
+    val (i0, i1) = compactSub("index", indexSchema, "vec_id")
+    val (l0, l1) = compactSub("labels", labelSchema, "doc_id")
+    (i0 + l0, i1 + l1)
   }
 
   private val StaleTolerance = 0.10

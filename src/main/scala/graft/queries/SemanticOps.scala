@@ -232,6 +232,13 @@ object SemanticOps {
     * batch against the frozen centroids, pair-join it inside its
     * affected clusters, update those clusters' components. Temp roots
     * are reaped at JVM exit.
+    *
+    * After the appends the fixture forces a [[SemanticIndex.compact]]
+    * park-and-swap, `require`d to actually rewrite (three appends leave
+    * multi-file cluster partitions) — the q69 pattern: a compaction
+    * that loses or duplicates index/label rows makes the downstream
+    * hash gate a red CORRECTNESS row, so maintenance is oracle-covered,
+    * not just spec-covered.
     */
   private def persistedSemRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.core.SessionTempRoots.of(s, d, "graft_semidx_") { root =>
@@ -242,6 +249,8 @@ object SemanticOps {
       SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 5), root).count()
       SemanticIndex.ingest(
         corpus.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3), root).count()
+      val (cb, ca) = SemanticIndex.compact(s, root)
+      require(ca < cb, s"q97 fixture premise: compaction was a no-op ($cb -> $ca files)")
     }
 
   /** q97: INCREMENTAL semantic dedup against the persisted index — the

@@ -129,6 +129,76 @@ class SemanticIndexSpec extends SparkSpec {
       "an unaffected cluster's label partition was rewritten")
   }
 
+  test("compact: bounded files, decisions bit-invariant, no-op when clean, O(oversize) rewrite") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_cpt")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 1), root).count()
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 8 === 5), root).count()
+    SemanticIndex.ingest(
+      corpus.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3), root).count()
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 4 === 0), root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+
+    def maxFilesPerCluster(sub: String): Int =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("cluster="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFilesPerCluster("index") > 1,
+      "test premise: appends must have accreted multi-file partitions")
+
+    val (b, a) = SemanticIndex.compact(spark, root)
+    assert(a < b, s"compaction must rewrite ($b -> $a)")
+    assert(maxFilesPerCluster("index") == 1 && maxFilesPerCluster("labels") == 1,
+      "every partition must be single-file after compaction at this scale")
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "decisions must be bit-invariant under compaction")
+    val (b2, a2) = SemanticIndex.compact(spark, root)
+    assert(b2 == a2, "a second compaction must be a no-op")
+
+    // O(oversize): one more single-vector append dirties exactly one
+    // index partition; recompacting must rewrite that one and leave
+    // every other partition's files (paths + mtimes) untouched
+    val one = corpus.filter(col("vec_id") % 4 === 0).orderBy("vec_id").limit(1)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val dirty = SemanticIndex.ingest(one, root).select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    def snapOthers(sub: String): Set[String] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(d => d.getName.startsWith("cluster=") &&
+          !dirty(d.getName.stripPrefix("cluster=").toInt))
+        .flatMap(_.listFiles().map(f => f.getPath + ":" + f.lastModified)).toSet
+    val othersBefore = (snapOthers("index"), snapOthers("labels"))
+    val (b3, a3) = SemanticIndex.compact(spark, root)
+    assert(a3 < b3, "the dirtied partition must be rewritten")
+    assert((snapOthers("index"), snapOthers("labels")) == othersBefore,
+      "compaction must not touch clean partitions")
+  }
+
+  test("crash leftovers and stray dirs never leak into reads") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_stray")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+    // a crashed compaction's staging sibling + an unparseable dir inside
+    // the live tree, both holding real parquet — neither may be read
+    val aCluster = new java.io.File(s"$root/index").listFiles()
+      .filter(_.getName.startsWith("cluster=")).head
+    val aFile = aCluster.listFiles().filter(_.getName.endsWith(".parquet")).head
+    for (stray <- Seq(s"$root/index.compacting/cluster=0", s"$root/index/cluster=junk")) {
+      new java.io.File(stray).mkdirs()
+      java.nio.file.Files.copy(aFile.toPath,
+        java.nio.file.Paths.get(stray, aFile.getName))
+    }
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "a stray dir leaked rows into the snapshot read")
+    // and the next compaction reaps the staging leftover
+    SemanticIndex.compact(spark, root)
+    assert(!new java.io.File(s"$root/index.compacting").exists(),
+      "crash leftovers must be reaped on the next compact")
+  }
+
   test("init is create-exclusive: params are immutable per index") {
     val root = tmpDir("sem_idx_excl")
     SemanticIndex.init(spark, root, corpus.limit(50), Tau)
