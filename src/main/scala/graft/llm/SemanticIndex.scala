@@ -374,6 +374,60 @@ object SemanticIndex {
     (i0 + l0, i1 + l1)
   }
 
+  /** Retrain + rebuild at a maintenance window — the EXECUTABLE form of
+    * the staleness contract (object doc): when [[isStale]] flags drift,
+    * this rebuilds the whole index against fresh centroids and swaps it
+    * live. The corpus is recovered from the index's own persisted
+    * vectors (no caller-side re-supply of 2 B embeddings, and no row
+    * can be lost by construction); `trainCorpus` defaults to that same
+    * corpus — pass a sample or a recent-window slice to bias the new
+    * quantizer toward the current distribution. τ defaults to the old
+    * index's value (changing it makes the rebuild a re-dedup under the
+    * new threshold, which is legal — the rebuild IS a fresh index).
+    *
+    * Build-then-swap: the new index is built COMPLETELY in
+    * `<root>.retraining` (init + one bulk ingest — the monolithic cycle
+    * SemIndexScale measures) while the old root stays live and
+    * readable; then the old root is parked at `<root>.trash` and the
+    * staging dir renamed in — the same two-rename window as
+    * [[compact]]/[[Dedup.compactLshIndex]] (recovery = rename trash
+    * back; leftovers from a crash are reaped on the next call). Readers
+    * holding a pre-swap file snapshot keep reading the parked copy
+    * until the trash delete, same-session readers re-list on next call.
+    * Single-writer contract, like [[ingest]]: run at a maintenance
+    * window, not concurrently with a batch.
+    *
+    * Resets the fill-growth drift exactly as q70's compaction resets
+    * small-files growth: after the swap, cluster sizes re-follow
+    * `targetClusterSize` and `initQuality` reflects the NEW training
+    * distribution, so previously-stale batches read as in-distribution
+    * (spec: SemanticIndexSpec staleness-retrain loop).
+    */
+  def retrain(spark: SparkSession, root: String,
+              trainCorpus: Option[DataFrame] = None, tau: Double = Double.NaN,
+              targetClusterSize: Long = 1024L, iters: Int = 1): Unit = {
+    val oldMeta = readMeta(spark, root) // fail fast on a non-index dir
+    val newTau = if (tau.isNaN) oldMeta.tau else tau
+    val (fs, rootPath) = hadoopFs(spark, root)
+    val staging = new org.apache.hadoop.fs.Path(s"$root.retraining")
+    val trash = new org.apache.hadoop.fs.Path(s"$root.trash")
+    fs.delete(staging, true); fs.delete(trash, true) // crash leftovers
+    // the index's own vectors, pinned to a file snapshot NOW — every
+    // read below sees exactly this corpus regardless of writes elsewhere
+    val corpus = snapshotPartitioned(spark, s"$root/index", indexSchema)
+      .select(col("vec_id"), col("embedding"))
+    init(spark, staging.toString, trainCorpus.getOrElse(corpus), newTau,
+      targetClusterSize, iters)
+    ingest(corpus, staging.toString).count() // one bulk cycle, fully materialized
+    if (!fs.rename(rootPath, trash))
+      throw new java.io.IOException(s"retrain: cannot park $root")
+    if (!fs.rename(staging, rootPath)) { // restore — the index must stay live
+      fs.rename(trash, rootPath)
+      throw new java.io.IOException(s"retrain: swap failed for $root")
+    }
+    fs.delete(trash, true)
+  }
+
   private val StaleTolerance = 0.10
 
   /** The init-time assignment-quality datum (mean max-cosine of the

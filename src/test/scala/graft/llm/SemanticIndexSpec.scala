@@ -205,18 +205,12 @@ class SemanticIndexSpec extends SparkSpec {
     intercept[Exception](SemanticIndex.init(spark, root, corpus.limit(50), 0.9))
   }
 
-  test("staleness contract: in-distribution batch fresh, centroid-orthogonal batch stale") {
-    import spark.implicits._
-    val train = corpus.filter(col("vec_id") % 4 =!= 0)
-    val root = tmpDir("sem_idx_stale")
-    SemanticIndex.init(spark, root, train, Tau)
-    val q0 = SemanticIndex.initQuality(spark, root)
-    assert(q0 > 0, s"init quality must be positive, got $q0")
-    val inDist = corpus.filter(col("vec_id") % 4 === 0)
-    assert(!SemanticIndex.isStale(inDist, root, tolerance = q0 * 0.5),
-      "a same-distribution batch must not flag stale")
-    // the worst drift: a batch ORTHOGONAL to every frozen centroid —
-    // assigned cosine ~0, so the drop below q0 is maximal by construction
+  /** A unit vector orthogonal to every centroid of `root`'s quantizer —
+    * the maximal-drift fixture direction (assigned cosine ~0 by
+    * construction). Gram–Schmidt over the centroids, then the first
+    * standard-basis vector with a nonzero residual.
+    */
+  private def orthogonalToCentroids(root: String): Array[Double] = {
     val cents = spark.read.parquet(s"$root/centroids").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("centroid").map(_.toDouble).toArray)
     val dim = cents.head.length
@@ -235,14 +229,75 @@ class SemanticIndexSpec extends SparkSpec {
       if (n > 1e-6) Some(r.map(_ / n)) else None
     }
     cents.foreach(c => tryAdd(c).foreach(basis += _))
-    val ortho = (0 until dim).iterator
+    (0 until dim).iterator
       .map(j => tryAdd(Array.tabulate(dim)(i => if (i == j) 1.0 else 0.0)))
       .collectFirst { case Some(v) => v }
       .getOrElse(fail("centroids span the whole space — can't build the fixture"))
+  }
+
+  test("staleness contract: in-distribution batch fresh, centroid-orthogonal batch stale") {
+    import spark.implicits._
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_stale")
+    SemanticIndex.init(spark, root, train, Tau)
+    val q0 = SemanticIndex.initQuality(spark, root)
+    assert(q0 > 0, s"init quality must be positive, got $q0")
+    val inDist = corpus.filter(col("vec_id") % 4 === 0)
+    assert(!SemanticIndex.isStale(inDist, root, tolerance = q0 * 0.5),
+      "a same-distribution batch must not flag stale")
+    // the worst drift: a batch ORTHOGONAL to every frozen centroid —
+    // assigned cosine ~0, so the drop below q0 is maximal by construction
+    val ortho = orthogonalToCentroids(root)
     val drifted = Seq.tabulate(8)(i =>
       (1000000L + i, ortho.map(x => (x * (i + 1)).toFloat).toSeq))
       .toDF("vec_id", "embedding")
     assert(SemanticIndex.isStale(drifted, root, tolerance = q0 * 0.5),
       "a centroid-orthogonal batch must flag stale")
+  }
+
+  test("retrain closes the staleness loop and the rebuilt index == a fresh index, bit-equal") {
+    import spark.implicits._
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_rt")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val q0 = SemanticIndex.initQuality(spark, root)
+
+    // a drifted batch: orthogonal direction, all mutual cosine 1 —
+    // flagged stale, ingested anyway (the contract: never reject data)
+    val ortho = orthogonalToCentroids(root)
+    val drifted = Seq.tabulate(6)(i =>
+      (2000000L + i, ortho.map(x => (x * (i + 1)).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    assert(SemanticIndex.isStale(drifted, root, tolerance = q0 * 0.5),
+      "fixture premise: the drifted batch must flag stale pre-retrain")
+    SemanticIndex.ingest(drifted, root).count()
+
+    SemanticIndex.retrain(spark, root)
+
+    // the same-direction batch is now in-distribution: the new quantizer
+    // trained on a corpus containing the ortho direction
+    val driftedAgain = Seq.tabulate(4)(i =>
+      (3000000L + i, ortho.map(x => (x * (i + 2)).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    assert(!SemanticIndex.isStale(driftedAgain, root, tolerance = q0 * 0.5),
+      "post-retrain, the drifted direction must read as in-distribution")
+
+    // bit-equality vs a fresh index built from the same rows (train
+    // defaulted to the full corpus in both paths; trainCentroids is
+    // order-independent, so same rows => same quantizer => same index)
+    val fullCorpus = corpus.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("embedding")).unionByName(drifted)
+    val fresh = tmpDir("sem_idx_rt_fresh")
+    SemanticIndex.init(spark, fresh, fullCorpus, Tau)
+    SemanticIndex.ingest(fullCorpus, fresh).count()
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) ==
+      decisionSet(SemanticIndex.decisions(spark, fresh)),
+      "retrained decisions diverged from a fresh rebuild on the same rows")
+
+    // staging/trash reaped; the live root is the only copy
+    assert(!new java.io.File(s"$root.retraining").exists() &&
+      !new java.io.File(s"$root.trash").exists(),
+      "retrain must reap its staging and trash dirs")
   }
 }
