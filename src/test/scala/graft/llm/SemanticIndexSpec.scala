@@ -199,6 +199,56 @@ class SemanticIndexSpec extends SparkSpec {
       "crash leftovers must be reaped on the next compact")
   }
 
+  test("mid-swap compaction crash: the parked partition is RESTORED before reaping, no row lost") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_crash")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+
+    // simulate the exact crash window: park rename done (live/cluster=N
+    // -> trash), swap rename NOT done (staged copy still in .compacting)
+    // — trash now holds the ONLY live-tree copy of that cluster
+    val live = new java.io.File(s"$root/index").listFiles()
+      .filter(_.getName.startsWith("cluster=")).head
+    val c = live.getName
+    new java.io.File(s"$root/index.trash").mkdirs()
+    val staged = new java.io.File(s"$root/index.compacting/$c")
+    staged.mkdirs()
+    live.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(staged.getPath, f.getName)))
+    assert(live.renameTo(new java.io.File(s"$root/index.trash/$c")))
+
+    // the pre-r16 reap order (delete trash+staged first) would lose the
+    // cluster here; the restore-first order must recover every row
+    SemanticIndex.compact(spark, root)
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "a mid-swap compaction crash lost rows")
+    assert(!new java.io.File(s"$root/index.compacting").exists() &&
+      !new java.io.File(s"$root/index.trash").exists(),
+      "recovery must still reap the staging dirs")
+  }
+
+  test("mid-swap retrain crash: the parked root is restored by the next call") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_rtcrash")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+
+    // simulate retrain's crash window: old root parked at <root>.trash,
+    // staging half-built, live root ABSENT — the pre-r16 readMeta failed
+    // on the missing root and the documented recovery never ran
+    new java.io.File(s"$root.retraining").mkdirs()
+    assert(new java.io.File(root).renameTo(new java.io.File(s"$root.trash")))
+
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "the parked index must be auto-restored on the next read")
+    assert(new java.io.File(s"$root/meta.json").exists() &&
+      !new java.io.File(s"$root.trash").exists(),
+      "restore must rename the parked root back into place")
+  }
+
   test("init is create-exclusive: params are immutable per index") {
     val root = tmpDir("sem_idx_excl")
     SemanticIndex.init(spark, root, corpus.limit(50), Tau)
@@ -299,5 +349,19 @@ class SemanticIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$root.retraining").exists() &&
       !new java.io.File(s"$root.trash").exists(),
       "retrain must reap its staging and trash dirs")
+  }
+
+  test("retrain inherits iters and targetClusterSize from the old meta by default") {
+    val root = tmpDir("sem_idx_inherit")
+    SemanticIndex.init(spark, root, corpus.limit(60), Tau,
+      targetClusterSize = 256L, iters = 0)
+    SemanticIndex.ingest(corpus.limit(60), root).count()
+    SemanticIndex.retrain(spark, root)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/meta.json")), "UTF-8")
+    assert(meta.contains("\"iters\":0"),
+      s"a default retrain must not reset Lloyd iterations: $meta")
+    assert(meta.contains("\"target_cluster_size\":256"),
+      s"a default retrain must not reset the fill target: $meta")
   }
 }
