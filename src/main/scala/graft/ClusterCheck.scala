@@ -74,6 +74,12 @@ object ClusterCheck {
     // partition-pruned snapshot read, and the star-contracted
     // union-find closure over (new edges ∪ persisted label edges)
     "q97_semantic_incremental",
+    // q98: the multi-probe ingest path — TopNCosine against LOADED
+    // centroids broadcast to separate JVMs, the per-probe partitioned
+    // snapshot read, the canonical once-each pair rule over probes
+    // arrays crossing process boundaries, and the read-time quotient
+    // solve (bridgeLocalRoots) over persisted phase-1 labels
+    "q98_semantic_incremental_multiprobe",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on

@@ -201,6 +201,24 @@ object Dedup {
                             textCol: String = "text"): DataFrame = {
     val spark = newDocs.sparkSession
     val (shingleLen, numPerms, bands) = readLshMeta(spark, root)
+    // committing ingests serialize through the index's dir lease (two
+    // unserialized appends would each MISS the other batch's cross
+    // pairs — a silent under-merge, not a crash); dry-runs are pure
+    // reads of a file snapshot and take no lease
+    if (append)
+      graft.storage.SeriesLease.withDirLeaseHandle(root)(h =>
+        minhashLshIncrementalBody(newDocs, root, append, idCol, textCol,
+          shingleLen, numPerms, bands, Some(h)))
+    else
+      minhashLshIncrementalBody(newDocs, root, append, idCol, textCol,
+        shingleLen, numPerms, bands, None)
+  }
+
+  private def minhashLshIncrementalBody(newDocs: DataFrame, root: String,
+                                        append: Boolean, idCol: String, textCol: String,
+                                        shingleLen: Int, numPerms: Int, bands: Int,
+                                        lease: Option[graft.storage.SeriesLease.Handle]): DataFrame = {
+    val spark = newDocs.sparkSession
     val newHashes = lshHashSets(newDocs, shingleLen, idCol, textCol)
     val newBands = lshBandRows(newHashes, numPerms, bands)
       .select(col("band").cast("int").as("band"), col("key"), col("doc_id"))
@@ -232,6 +250,7 @@ object Dedup {
     val result = candA.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
 
     if (append) {
+      lease.foreach(_.assertOwned()) // loud failure on a stolen lease
       newBands.write.mode("append").parquet(s"$root/bands")
       newHashes.write.mode("append").parquet(s"$root/hashes")
     }
@@ -268,6 +287,9 @@ object Dedup {
                       targetFiles: Int = 4): (Long, Long) = {
     readLshMeta(spark, root) // fail fast on a non-index dir
     val (fs, _) = hadoopFs(spark, root)
+    // maintenance serializes with committing ingests through the same
+    // dir lease as [[minhashLshIncremental]]
+    graft.storage.SeriesLease.withDirLeaseHandle(root) { leaseH =>
 
     def parquetFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -279,9 +301,17 @@ object Dedup {
     def compactDir(sub: String, schema: org.apache.spark.sql.types.StructType,
                    clusterCols: Seq[String]): (Long, Long) = {
       val dir = s"$root/$sub"
+      val live = new org.apache.hadoop.fs.Path(dir)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
       val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
-      fs.delete(tmp, true); fs.delete(trash, true) // crash leftovers
+      // crash recovery BEFORE reaping (the SemanticIndex.compact rule):
+      // a crash between the park rename and the swap rename leaves the
+      // live dir missing and trash holding the ONLY copy — restore it,
+      // then reap; delete-first would lose the whole sub-index silently
+      if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+        throw new java.io.IOException(
+          s"compactLshIndex: cannot restore crash-parked $trash to $dir")
+      fs.delete(tmp, true); fs.delete(trash, true) // post-swap leftovers
       val files = parquetFiles(dir)
       val before = files.length.toLong
       if (before <= targetFiles) return (before, before)
@@ -294,7 +324,7 @@ object Dedup {
         .repartition(parts, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
-      val live = new org.apache.hadoop.fs.Path(dir)
+      leaseH.assertOwned() // commit point: about to take the dir offline
       if (!fs.rename(live, trash))
         throw new java.io.IOException(s"compactLshIndex: cannot park $dir")
       if (!fs.rename(tmp, live)) { // restore — the index must stay readable
@@ -308,6 +338,7 @@ object Dedup {
     val (b0, b1) = compactDir("bands", bandSchema, Seq("band", "key"))
     val (h0, h1) = compactDir("hashes", hashSchema, Seq("doc_id"))
     (b0 + h0, b1 + h1)
+    }
   }
 
   /** SimHash fingerprints: 32-bit per doc over whitespace tokens. Pairs
@@ -648,14 +679,27 @@ object Dedup {
     */
   def blockBridgedComponents(pairs: DataFrame, blockCol: String,
                              aCol: String = "doc_a", bCol: String = "doc_b",
-                             bridgeCollectMax: Int = 1 << 22): DataFrame = {
-    val spark = pairs.sparkSession
+                             bridgeCollectMax: Int = 1 << 22): DataFrame =
+    bridgeLocalRoots(
+      blockConfinedComponents(pairs, blockCol, aCol, bCol), "cluster",
+      bridgeCollectMax)
+
+  /** Phase 2 of [[blockBridgedComponents]] standalone: global components
+    * from per-block LOCAL root labels (`doc_id`, `rootCol`) — for
+    * callers that already hold the phase-1 output, e.g.
+    * [[SemanticIndex]]'s PERSISTED per-cluster star labels, where the
+    * local union-find ran incrementally at ingest time and only the
+    * quotient solve remains at read time. Same output contract:
+    * (doc_id, cluster = global min-id root, is_canonical).
+    */
+  def bridgeLocalRoots(local: DataFrame, rootCol: String = "cluster",
+                       bridgeCollectMax: Int = 1 << 22): DataFrame = {
+    val spark = local.sparkSession
     import spark.implicits._
-    val local = blockConfinedComponents(pairs, blockCol, aCol, bCol)
     // per node: all its local roots, bridged to the node's min root —
     // a node in b blocks contributes b−1 quotient edges, so the quotient
     // graph is bounded by Σ(blocks per node − 1), tiny vs the edge set
-    val rootsPerDoc = local
+    val rootsPerDoc = local.select(col("doc_id"), col(rootCol).as("cluster"))
       .groupBy(col("doc_id"))
       .agg(min(col("cluster")).as("r_lo"), collect_set(col("cluster")).as("roots"))
       .pipe(graft.core.Checkpoints.stable)

@@ -308,13 +308,23 @@ object IvfSearch {
     * [[SemanticIndex.ingest]] batches computes one batch at a time.
     * `kSql` should likewise count only the training slice.
     */
-  def duckIndexCtesTrainedK(kSql: String, iters: Int, trainPred: String): String = {
+  def duckIndexCtesTrainedK(kSql: String, iters: Int, trainPred: String): String =
+    duckIndexCtesFrom(kSql, iters, "embeddings", trainPred)
+
+  /** [[duckIndexCtesTrainedK]] over an arbitrary corpus RELATION (a CTE
+    * name or table) instead of `embeddings` — the retrain-loop shape
+    * (q99), where the rebuilt index trains on a DERIVED corpus (the
+    * original slice ∪ a drifted batch) that no base-table predicate can
+    * express. `rel` must expose (vec_id, embedding).
+    */
+  def duckIndexCtesFrom(kSql: String, iters: Int, rel: String,
+                        trainPred: String = "TRUE"): String = {
     val seed =
       s"""SELECT s.cluster, e.embedding AS centroid FROM (
          |  SELECT (${TextHash.duckMd5Long("vec_id::VARCHAR")} % ($kSql)) AS cluster,
          |         MIN(vec_id) AS mid
-         |  FROM embeddings WHERE $trainPred GROUP BY 1) s
-         |JOIN embeddings e ON e.vec_id = s.mid""".stripMargin
+         |  FROM $rel WHERE $trainPred GROUP BY 1) s
+         |JOIN $rel e ON e.vec_id = s.mid""".stripMargin
     def assignSql(cents: String, pred: String = "TRUE"): String =
       s"""SELECT vec_id, embedding, cluster FROM (
          |  SELECT e.vec_id, e.embedding, c.cluster,
@@ -323,7 +333,7 @@ object IvfSearch {
          |        (CASE WHEN ${duckNorm("c.centroid")} = 0 THEN 1.0
          |              ELSE ${duckNorm("c.centroid")} END) DESC,
          |      c.cluster ASC) AS __rn
-         |  FROM embeddings e CROSS JOIN $cents c WHERE $pred)
+         |  FROM $rel e CROSS JOIN $cents c WHERE $pred)
          |WHERE __rn = 1""".stripMargin
     def update(assigned: String): String =
       s"""SELECT cluster, list(CAST(m AS REAL) ORDER BY dim) AS centroid FROM (
