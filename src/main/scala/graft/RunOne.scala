@@ -52,6 +52,14 @@ object RunOne {
         (1 to n).foreach(_ => f)
         println(f"[floor] $label: ${(System.nanoTime() - t0) / 1e6 / n}%.1f ms/op")
       }
+      // split the floor into its layers: a raw RDD job isolates
+      // scheduler+collect; a REUSED DataFrame isolates re-execution
+      // without fresh analysis; the fresh-DF forms add per-query
+      // planning (analysis + optimization + codegen-cache lookup)
+      val sc = spark.sparkContext
+      time("raw RDD job (1 partition)") { sc.parallelize(Seq(1), 1).count(): Unit }
+      val reused = spark.sql("SELECT 1")
+      time("select-1 REUSED df (no re-analysis)") { reused.count(): Unit }
       time("select-1 (no data)") { spark.sql("SELECT 1").count(): Unit }
       time("range-1M map agg (no shuffle)") {
         spark.range(1000000).selectExpr("sum(id)").count(): Unit }

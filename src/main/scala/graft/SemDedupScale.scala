@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
+    // same collector shim as Bench/RunOne/SemIndexScale (see the r16
+    // 14.5× G1-churn measurement in SemIndexScale)
+    if (Bench.reexecWithParallelGC("graft.SemDedupScale", args)) return
     val sfDir = args(0)
     val kArg = if (args.length > 1) args(1) else "auto"
     val runs = if (args.length > 2) args(2).toInt else 2

@@ -20,16 +20,25 @@ import org.apache.spark.sql.functions._
   * retraining at a maintenance window resets cluster sizes exactly
   * like q70's compaction resets small-files growth.
   *
-  * Usage: graft.SemIndexScale <sfDir> [batches] [root] — prints k,
-  * per-cycle wall seconds, the final kept/dropped tally, and two
-  * marginal-cycle probes (uniform vs concentrated batch). A `root`
+  * Usage: graft.SemIndexScale <sfDir> [batches] [root] [nProbe] —
+  * prints k, per-cycle wall seconds, the final kept/dropped tally, and
+  * two marginal-cycle probes (uniform vs concentrated batch). A `root`
   * argument persists the index there (and SKIPS the build when it
   * already holds one), so probe variations don't re-pay the build.
+  * nProbe > 1 measures the PRODUCTION multi-probe path (q98): per-probe
+  * storage, canonical-pair generation across probed partitions — expect
+  * a constant-factor rise on the pair stage (≤ nProbe² candidate
+  * surfaces), the law stays linear.
   */
 object SemIndexScale {
   def main(args: Array[String]): Unit = {
+    // same collector shim as Bench/RunOne — measured r16: the nProbe=2
+    // sf100 cycle 1 ran 663 s under default G1 vs 45.8 s under
+    // ParallelGC (14.5× — the q43 heap-churn pathology, not the plan)
+    if (Bench.reexecWithParallelGC("graft.SemIndexScale", args)) return
     val sfDir = args(0)
     val batches = if (args.length > 1) args(1).toInt else 8
+    val nProbe = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,8 +57,8 @@ object SemIndexScale {
     if (!new java.io.File(s"$root/meta.json").exists()) {
       val train = corpus.filter(pmod(col("vec_id"), lit(batches)) === 0)
       val t0 = System.nanoTime()
-      llm.SemanticIndex.init(spark, root, train, tau = 0.35)
-      println(f"[semindex-scale] n=$n batches=$batches train=${train.count()} " +
+      llm.SemanticIndex.init(spark, root, train, tau = 0.35, nProbe = nProbe)
+      println(f"[semindex-scale] n=$n batches=$batches nProbe=$nProbe train=${train.count()} " +
         f"init=${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"quality=${llm.SemanticIndex.initQuality(spark, root)}%.4f")
       (0 until batches).foreach { b =>
