@@ -264,6 +264,32 @@ class SemanticIndexSpec extends SparkSpec {
     assert(mp(bIds.min) && bIds.tail.forall(id => !mp(id)), s"group B: $mp")
   }
 
+  test("multi-probe: every τ-edge discovered exactly once, in the batch where its second member arrives") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val k = SemanticDedup.adaptiveK(train.count())
+    val centroids = IvfSearch.trainCentroids(train, k, iters = 1)
+    val multiAll = IvfSearch.buildIndexMultiProbe(corpus, centroids, "embedding", nProbe = 2)
+    val full = pairSet(SemanticDedup.semanticPairs(multiAll, Tau, probesCol = Some("probes"))
+      .select("cluster", "id_a", "id_b"))
+    assert(full.nonEmpty, "test premise: the corpus must contain τ-pairs")
+
+    val batches = Seq(
+      corpus.filter(col("vec_id") % 4 === 1),
+      corpus.filter(col("vec_id") % 4 === 2 || col("vec_id") % 4 === 3),
+      corpus.filter(col("vec_id") % 4 === 0))
+    var existing = multiAll.limit(0)
+    val perBatch = batches.map { b =>
+      val assigned = IvfSearch.buildIndexMultiProbe(b, centroids, "embedding", nProbe = 2)
+      val p = pairSet(SemanticIndex.newPairsMultiProbe(assigned, existing, Tau))
+      existing = existing.unionByName(assigned)
+      p
+    }
+    assert(perBatch.map(_.size).sum == perBatch.reduce(_ union _).size,
+      "a τ-edge was discovered in more than one batch (or in two canonical clusters)")
+    assert(perBatch.reduce(_ union _) == full,
+      s"incremental union ${perBatch.map(_.size).sum} != monolithic ${full.size}")
+  }
+
   test("multi-probe batches == monolithic multi-probe rebuild, bit-equal; dry-run composes identically") {
     val train = corpus.filter(col("vec_id") % 4 =!= 0)
     // the monolithic comparator: q96's exact pipeline against the same
