@@ -159,12 +159,42 @@ object Dedup {
     * join stays new-vs-existing even though the returned DataFrame is
     * evaluated later.
     */
+  /** Restore a crash-parked sub-index dir left in [[compactLshIndex]]'s
+    * park-and-swap window, then reap the staging dirs: a live dir
+    * missing with `<dir>.trash` present means the parked copy is the
+    * tree's ONLY one (the crash hit between the park rename and the
+    * swap-in) — rename it back before anything appends or reaps. MUST
+    * run under the index's dir lease (the restore is a write); every
+    * committing operation — [[minhashLshIncremental]] appends,
+    * [[compactLshIndex]] — calls it inside its critical section.
+    */
+  private def restoreParkedDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+    val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
+    if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
+      throw new java.io.IOException(
+        s"lsh index: cannot restore crash-parked $trash to $dir")
+    fs.delete(tmp, true); fs.delete(trash, true) // post-swap leftovers
+  }
+
   private def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
                            schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val (fs, p) = hadoopFs(spark, dir)
+    // crash-window fallback, READ-ONLY: [[compactLshIndex]] parks the
+    // whole sub-dir at `<dir>.trash` between its two renames — if the
+    // live dir is missing, the parked copy (content-identical to what
+    // the swap installs) is the only one, and a lease-free reader must
+    // see it rather than silently treating the index as empty
+    val base =
+      if (fs.exists(p)) p
+      else {
+        val t = new org.apache.hadoop.fs.Path(s"$dir.trash")
+        if (fs.exists(t)) t else p
+      }
     val files =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (!fs.exists(base)) Array.empty[String]
+      else fs.listStatus(base).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -206,9 +236,19 @@ object Dedup {
     // pairs — a silent under-merge, not a crash); dry-runs are pure
     // reads of a file snapshot and take no lease
     if (append)
-      graft.storage.SeriesLease.withDirLeaseHandle(root)(h =>
+      graft.storage.SeriesLease.withDirLeaseHandle(root) { h =>
+        // physically restore any crash-parked sub-index BEFORE the
+        // append (a [[compactLshIndex]] mid-swap crash leaves bands/ or
+        // hashes/ only under `.trash`): appending into a fresh dir
+        // would shadow the parked rows — every cross pair against them
+        // silently missed, permanently — and the next compact's reap
+        // would delete them for good
+        val (fs, _) = hadoopFs(spark, root)
+        restoreParkedDir(fs, s"$root/bands")
+        restoreParkedDir(fs, s"$root/hashes")
         minhashLshIncrementalBody(newDocs, root, append, idCol, textCol,
-          shingleLen, numPerms, bands, Some(h)))
+          shingleLen, numPerms, bands, Some(h))
+      }
     else
       minhashLshIncrementalBody(newDocs, root, append, idCol, textCol,
         shingleLen, numPerms, bands, None)
@@ -305,13 +345,9 @@ object Dedup {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
       val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
       // crash recovery BEFORE reaping (the SemanticIndex.compact rule):
-      // a crash between the park rename and the swap rename leaves the
-      // live dir missing and trash holding the ONLY copy — restore it,
-      // then reap; delete-first would lose the whole sub-index silently
-      if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
-        throw new java.io.IOException(
-          s"compactLshIndex: cannot restore crash-parked $trash to $dir")
-      fs.delete(tmp, true); fs.delete(trash, true) // post-swap leftovers
+      // restore a crash-parked sub-index, then reap — see
+      // [[restoreParkedDir]]
+      restoreParkedDir(fs, dir)
       val files = parquetFiles(dir)
       val before = files.length.toLong
       if (before <= targetFiles) return (before, before)

@@ -67,8 +67,11 @@ import graft.queries.Embeddings.{dot, norm}
   * ownership-checked at each commit point, so a stolen lease is a loud
   * StolenLeaseException instead of interleaved label overwrites).
   * Dry-run ingests and all reads stay lease-free: they plan over a file
-  * snapshot. Same POSIX-filesystem scope as SeriesLease — an object
-  * store swaps a conditional-put lock behind the same seam.
+  * snapshot, with a read-only fallback to crash-parked partitions so a
+  * compaction's park→swap window (or its crash leftovers) never reads
+  * as missing data; committing operations physically restore parked
+  * partitions first. Same POSIX-filesystem scope as SeriesLease — an
+  * object store swaps a conditional-put lock behind the same seam.
   */
 object SemanticIndex {
 
@@ -113,12 +116,22 @@ object SemanticIndex {
     // <root>.trash, new root not yet renamed in): the parked copy is the
     // authoritative index — restore it before reading. Every public
     // entry point reads meta first, so recovery happens on the next
-    // call whichever surface it is.
+    // call whichever surface it is. The restore is a WRITE, so it must
+    // hold the index's dir lease: a LIVE retrain passes through this
+    // exact state between its two swap renames, and a lease-free rename
+    // here would hijack that swap (the retrain's staging rename then
+    // finds the root re-occupied). Taking the lease blocks until the
+    // retrain commits; the re-check inside sees the swapped-in root and
+    // does nothing. Reads that never hit this branch stay lease-free.
     if (!fs.exists(metaPath)) {
       val trash = new org.apache.hadoop.fs.Path(s"$root.trash")
       if (!fs.exists(rootPath) &&
           fs.exists(new org.apache.hadoop.fs.Path(trash, "meta.json")))
-        fs.rename(trash, rootPath)
+        graft.storage.SeriesLease.withDirLease(root) {
+          if (!fs.exists(rootPath) &&
+              fs.exists(new org.apache.hadoop.fs.Path(trash, "meta.json")))
+            fs.rename(trash, rootPath)
+        }
     }
     val in = fs.open(metaPath)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -224,30 +237,84 @@ object SemanticIndex {
     buf.groupBy(_._1).view.mapValues(_.map(_._2).toArray).toArray.sortBy(_._1)
   }
 
+  /** Restore any crash-parked partition of `dir` left in a compaction's
+    * park-and-swap window, then reap the staging dirs. A `cluster=N`
+    * present under `<dir>.trash` but MISSING under the live dir is the
+    * tree's ONLY copy (the crash hit between the park rename and the
+    * swap-in) — rename it back before anything appends or reaps; one
+    * present in BOTH is a post-swap leftover (live already holds the
+    * complete staged copy) and is reaped with the rest. MUST run under
+    * the index's dir lease (the restore is a write), which is why every
+    * COMMITTING operation — ingest, compact, retrain — calls this
+    * inside its critical section: a committing ingest that skipped it
+    * would append into a fresh `cluster=N` dir, permanently shadowing
+    * the parked rows for every later read until the next maintenance
+    * reap deleted them for good.
+    */
+  private def restoreParked(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val staged = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+    val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
+    if (fs.exists(trash))
+      fs.listStatus(trash).filter(_.isDirectory).foreach { d =>
+        val liveC = new org.apache.hadoop.fs.Path(live, d.getPath.getName)
+        if (!fs.exists(liveC) && !fs.rename(d.getPath, liveC))
+          throw new java.io.IOException(
+            s"semantic index: cannot restore crash-parked ${d.getPath} to $liveC")
+      }
+    fs.delete(staged, true); fs.delete(trash, true)
+  }
+
   private def snapshotPartitioned(spark: SparkSession, dir: String,
                                   schema: StructType,
                                   onlyClusters: Option[Set[Int]] = None): DataFrame = {
     val (fs, p) = hadoopFs(spark, dir)
-    val files: Array[String] = onlyClusters match {
-      // pruned read (the ingest path): list ONLY the affected cluster
-      // dirs — O(affected) child listings, the r15 22× fix — via one
-      // root listing filtered to parse-valid `cluster=<int>` names
-      case Some(keep) =>
-        if (!fs.exists(p)) Array.empty[String]
-        else fs.listStatus(p).filter(_.isDirectory).filter { d =>
-          val name = d.getPath.getName
-          name.startsWith("cluster=") &&
-            scala.util.Try(name.stripPrefix("cluster=").toInt).toOption.exists(keep)
-        }.flatMap(d =>
-          fs.listStatus(d.getPath)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString))
-      // full read: one recursive listing, never O(k) serial RPCs
-      case None => clusterFiles(fs, p).flatMap(_._2).map(_.getPath.toString)
+    def enumerate(base: org.apache.hadoop.fs.Path): Array[(Int, Array[String])] =
+      onlyClusters match {
+        // pruned read (the ingest path): list ONLY the affected cluster
+        // dirs — O(affected) child listings, the r15 22× fix — via one
+        // root listing filtered to parse-valid `cluster=<int>` names
+        case Some(keep) =>
+          if (!fs.exists(base)) Array.empty
+          else fs.listStatus(base).filter(_.isDirectory).flatMap { d =>
+            val name = d.getPath.getName
+            if (!name.startsWith("cluster=")) None
+            else scala.util.Try(name.stripPrefix("cluster=").toInt).toOption
+              .filter(keep).map { c =>
+                c -> fs.listStatus(d.getPath)
+                  .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+                  .map(_.getPath.toString)
+              }
+          }
+        // full read: one recursive listing, never O(k) serial RPCs
+        case None =>
+          clusterFiles(fs, base).map { case (c, st) => c -> st.map(_.getPath.toString) }
+      }
+    val live = enumerate(p)
+    // crash-window fallback, READ-ONLY: a cluster parked in `<dir>.trash`
+    // whose live counterpart is missing is the tree's only copy — in the
+    // park→swap window of a concurrent compaction, or after a mid-swap
+    // crash before the next committing op restores it. Lease-free
+    // readers must see those rows (silently treating the partition as
+    // empty is a wrong answer, not a stale one); the parked copy is
+    // content-identical to what the swap installs, so either side of
+    // the window reads the same values. Clusters present in BOTH are
+    // read from live only (the trash copy is a post-swap leftover).
+    val trashBase = new org.apache.hadoop.fs.Path(s"$dir.trash")
+    val liveSet = live.map(_._1).toSet
+    val parked =
+      if (!fs.exists(trashBase)) Array.empty[(Int, Array[String])]
+      else enumerate(trashBase).filter { case (c, _) => !liveSet.contains(c) }
+    def read(files: Array[String], base: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.schema(schema).option("basePath", base).parquet(files.toSeq: _*))
+    (read(live.flatMap(_._2), dir), read(parked.flatMap(_._2), s"$dir.trash")) match {
+      case (Some(l), Some(t)) => l.unionByName(t)
+      case (Some(l), None)    => l
+      case (None, Some(t))    => t
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).option("basePath", dir).parquet(files.toSeq: _*)
   }
 
   /** New τ-edges a batch introduces: new-vs-existing and new-vs-new,
@@ -321,9 +388,20 @@ object SemanticIndex {
     // snapshot reads sit INSIDE the critical section (read-merge-
     // overwrite, the q84 lost-update shape: two unserialized ingests
     // would interleave dynamic label overwrites). Dry-runs take no
-    // lease: they are pure reads of a file snapshot.
+    // lease: they are pure reads of a file snapshot (with the read-only
+    // parked-partition fallback, so even a crash window never reads as
+    // missing data).
     if (append)
-      graft.storage.SeriesLease.withDirLeaseHandle(root)(h => body(Some(h)))
+      graft.storage.SeriesLease.withDirLeaseHandle(root) { h =>
+        // physically restore any crash-parked partitions BEFORE the
+        // append: appending into a fresh cluster dir would shadow the
+        // parked rows (the read fallback only fires while live is
+        // missing) and the next maintenance reap would delete them
+        val (fs, _) = hadoopFs(spark, root)
+        restoreParked(fs, s"$root/index")
+        restoreParked(fs, s"$root/labels")
+        body(Some(h))
+      }
     else body(None)
   }
 
@@ -588,21 +666,10 @@ object SemanticIndex {
       val live = new org.apache.hadoop.fs.Path(dir)
       val staged = new org.apache.hadoop.fs.Path(s"$dir.compacting")
       val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
-      // crash recovery BEFORE reaping: a crash between the park rename
-      // and the swap rename leaves cluster=N in trash but ABSENT in
-      // live — the parked copy is then the only one, and deleting it
-      // first (the pre-r16 order, ADVICE r15 #1) would lose the cluster
-      // silently. Restore any such partition, then reap. A cluster
-      // present in BOTH is a post-swap leftover: live already holds the
-      // complete staged copy, so the parked one is safe to drop.
-      if (fs.exists(trash))
-        fs.listStatus(trash).filter(_.isDirectory).foreach { d =>
-          val liveC = new org.apache.hadoop.fs.Path(live, d.getPath.getName)
-          if (!fs.exists(liveC) && !fs.rename(d.getPath, liveC))
-            throw new java.io.IOException(
-              s"compact: cannot restore crash-parked ${d.getPath} to $liveC")
-        }
-      fs.delete(staged, true); fs.delete(trash, true)
+      // crash recovery BEFORE reaping (ADVICE r15 #1): restore any
+      // parked partition whose live counterpart is missing, THEN reap —
+      // see [[restoreParked]]
+      restoreParked(fs, dir)
       if (!fs.exists(live)) return (0L, 0L)
       val clusters = clusterFiles(fs, live)
       val before = clusters.map(_._2.length.toLong).sum
@@ -707,6 +774,11 @@ object SemanticIndex {
     val staging = new org.apache.hadoop.fs.Path(s"$root.retraining")
     val trash = new org.apache.hadoop.fs.Path(s"$root.trash")
     fs.delete(staging, true); fs.delete(trash, true) // crash leftovers
+    // a prior crashed compaction may have left partitions parked inside
+    // the root — physically restore them so the rebuilt corpus is
+    // complete and the parked dirs don't ride along into the swap
+    restoreParked(fs, s"$root/index")
+    restoreParked(fs, s"$root/labels")
     // the index's own vectors, pinned to a file snapshot NOW — every
     // read below sees exactly this corpus regardless of writes elsewhere
     // (multi-probe stores a vector once per probe: take the rank-1 rows)

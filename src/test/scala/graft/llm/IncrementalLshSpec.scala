@@ -83,4 +83,43 @@ class IncrementalLshSpec extends SparkSpec {
     assert(n2b == n2a)
     docs.unpersist()
   }
+
+  test("mid-swap compaction crash: dry-runs read the parked copy; a committing append restores it") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").cache()
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    // reference: the same two batches, no crash
+    val ref = tmpDir("lsh_idx_ref")
+    Dedup.initLshIndex(spark, ref)
+    val p1 = pairSet(Dedup.minhashLshIncremental(b1, ref))
+    val p2ref = pairSet(Dedup.minhashLshIncremental(b2, ref))
+    assert(p2ref.nonEmpty, "test premise: batch 2 must find cross pairs against batch 1")
+
+    val root = tmpDir("lsh_idx_crash")
+    Dedup.initLshIndex(spark, root)
+    assert(pairSet(Dedup.minhashLshIncremental(b1, root)) == p1)
+    // simulate compactLshIndex's exact crash window: bands parked at
+    // bands.trash, the staged copy never swapped in — trash holds the
+    // sub-index's ONLY copy
+    val bands = new java.io.File(s"$root/bands")
+    new java.io.File(s"$root/bands.compacting").mkdirs()
+    assert(bands.renameTo(new java.io.File(s"$root/bands.trash")))
+
+    // lease-free dry-run: the read fallback must see the parked bands —
+    // the pre-fix behavior read an empty index, silently missing every
+    // candidate against batch 1
+    val dry = pairSet(Dedup.minhashLshIncremental(b2, root, append = false))
+    assert(dry == p2ref, "a dry-run in the crash window missed the parked index")
+    assert(new java.io.File(s"$root/bands.trash").isDirectory,
+      "a dry-run must stay read-only")
+
+    // committing append: must physically restore BEFORE appending, so
+    // its cross pairs are complete and the healed tree holds both batches
+    assert(pairSet(Dedup.minhashLshIncremental(b2, root)) == p2ref,
+      "a committing append in the crash window lost the parked cross pairs")
+    assert(bands.isDirectory && !new java.io.File(s"$root/bands.trash").exists() &&
+      !new java.io.File(s"$root/bands.compacting").exists(),
+      "the committing append must restore and reap the crash leftovers")
+    docs.unpersist()
+  }
 }

@@ -393,6 +393,96 @@ class SemanticIndexSpec extends SparkSpec {
       "restore must rename the parked root back into place")
   }
 
+  test("crash window: a lease-free read sees the parked partition, read-only") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_crashread")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+
+    // park one cluster exactly as a compaction's park rename does, the
+    // swap rename never arriving (mid-swap crash / concurrent window)
+    val live = new java.io.File(s"$root/index").listFiles()
+      .filter(_.getName.startsWith("cluster=")).head
+    new java.io.File(s"$root/index.trash").mkdirs()
+    assert(live.renameTo(new java.io.File(s"$root/index.trash/${live.getName}")))
+
+    // a pure read (no lease, no writes): the fallback must surface the
+    // parked copy — silently omitting the cluster is a WRONG answer,
+    // not a stale one
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "a lease-free read silently dropped the crash-parked partition")
+    assert(new java.io.File(s"$root/index.trash/${live.getName}").isDirectory,
+      "a read mutated the parked partition — reads must be read-only")
+  }
+
+  test("crash window: a committing ingest RESTORES the parked partition before appending") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val extra = corpus.filter(col("vec_id") % 4 === 0)
+    // reference: the same batch sequence, no crash
+    val ref = tmpDir("sem_idx_ingref")
+    SemanticIndex.init(spark, ref, train, Tau)
+    SemanticIndex.ingest(train, ref).count()
+    SemanticIndex.ingest(extra, ref).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, ref))
+
+    val root = tmpDir("sem_idx_ingcrash")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val parked = new java.io.File(s"$root/index").listFiles()
+      .filter(_.getName.startsWith("cluster=")).head
+    new java.io.File(s"$root/index.trash").mkdirs()
+    assert(parked.renameTo(new java.io.File(s"$root/index.trash/${parked.getName}")))
+
+    // the committing ingest must rename the parked partition back BEFORE
+    // appending: an append into a fresh cluster dir would shadow the
+    // parked rows for every later read (the fallback only fires while
+    // live is missing) and the next maintenance reap would delete them
+    SemanticIndex.ingest(extra, root).count()
+    assert(!new java.io.File(s"$root/index.trash").exists(),
+      "a committing ingest must restore and reap the crash leftovers")
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "ingest after a mid-swap compaction crash lost the parked rows")
+  }
+
+  test("a lease-free reader never hijacks a live retrain's swap window") {
+    val root = tmpDir("sem_idx_noswipe")
+    SemanticIndex.init(spark, root, corpus.limit(60), Tau)
+    SemanticIndex.ingest(corpus.limit(60), root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+
+    @volatile var read: Option[Set[(Long, Int, Boolean)]] = None
+    @volatile var err: Option[Throwable] = None
+    var t: Thread = null
+    graft.storage.SeriesLease.withDirLeaseHandle(root) { _ =>
+      // simulate a LIVE retrain's exact mid-swap state: lease held, old
+      // root parked at <root>.trash, staging about to be renamed in
+      assert(new java.io.File(root).renameTo(new java.io.File(s"$root.trash")))
+      t = new Thread(() => {
+        try read = Some(decisionSet(SemanticIndex.decisions(spark, root)))
+        catch { case e: Throwable => err = Some(e) }
+      }, "crash-window-reader")
+      t.start()
+      Thread.sleep(2000)
+      // while the lease is held the reader must BLOCK on it — a
+      // lease-free restore here would re-occupy the root under the
+      // retrain's feet and break its staging rename
+      assert(new java.io.File(s"$root.trash").isDirectory &&
+        !new java.io.File(root).exists(),
+        "a lease-free reader hijacked the swap window (restored the root mid-retrain)")
+      assert(t.isAlive, "the reader should be blocked on the dir lease")
+    }
+    // lease released (this 'retrain' crashed right here): the reader now
+    // acquires it, re-checks, restores the parked root, and answers
+    t.join(120000)
+    assert(err.isEmpty, s"the reader failed: $err")
+    assert(read.contains(expected),
+      "the post-release reader must restore the parked root and read it")
+    assert(new java.io.File(s"$root/meta.json").exists() &&
+      !new java.io.File(s"$root.trash").exists(),
+      "the reader's recovery must leave the root restored")
+  }
+
   test("init is create-exclusive: params are immutable per index") {
     val root = tmpDir("sem_idx_excl")
     SemanticIndex.init(spark, root, corpus.limit(50), Tau)
