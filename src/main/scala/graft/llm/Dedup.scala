@@ -211,11 +211,15 @@ object Dedup {
     * corpus yields EXACTLY the full-rebuild pair set, each pair once
     * (spec: IncrementalLshSpec).
     *
-    * Contract: doc ids are globally unique across batches (re-ingesting
-    * an id already in the index double-counts its band rows). Appends
-    * are plain parquet file adds — single-writer per index; a
-    * multi-writer deployment should serialize batch commits through
-    * catalog.PublishPrimitive like any other artifact.
+    * Delivery contract: COMMITTING ingest is IDEMPOTENT on doc id — an
+    * id already committed is absorbed (first write wins; revised text
+    * under a reused id is NOT picked up), so at-least-once delivery (a
+    * streaming foreachBatch replay, a retry after a mid-commit crash)
+    * commits each doc exactly once. Dry-runs (`append=false`) stay a
+    * pure candidate QUERY: they process the batch whether or not its
+    * ids are in the index. Committing appends serialize through the
+    * index root's dir lease (see above); an id must still mean the same
+    * document everywhere.
     *
     * Scale shape: per batch the work is O(|batch| band rows) shuffled
     * against the index's (band,key) table — the index side is an
@@ -259,11 +263,25 @@ object Dedup {
                                         shingleLen: Int, numPerms: Int, bands: Int,
                                         lease: Option[graft.storage.SeriesLease.Handle]): DataFrame = {
     val spark = newDocs.sparkSession
-    val newHashes = lshHashSets(newDocs, shingleLen, idCol, textCol)
-    val newBands = lshBandRows(newHashes, numPerms, bands)
-      .select(col("band").cast("int").as("band"), col("key"), col("doc_id"))
     val idxBands = snapshotRead(spark, s"$root/bands", bandSchema)
     val idxHashes = snapshotRead(spark, s"$root/hashes", hashSchema)
+    // COMMITTING idempotence: doc ids already committed are ABSORBED
+    // (first write wins), keyed on the HASHES table — the LAST artifact
+    // the append writes — so at-least-once delivery commits each doc
+    // exactly once: a replay of a committed batch processes nothing,
+    // and a retry of a crash between the bands append and the hashes
+    // append re-derives the doc (its possible duplicate band rows are
+    // absorbed by the candidates' dropDuplicates below — only bytes,
+    // never results). Dry-runs are a pure CANDIDATE QUERY — they
+    // process the batch regardless, so probing docs that already live
+    // in the index keeps returning their candidates.
+    val freshDocs =
+      if (!append) newDocs
+      else newDocs.join(
+        idxHashes.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    val newHashes = lshHashSets(freshDocs, shingleLen, idCol, textCol)
+    val newBands = lshBandRows(newHashes, numPerms, bands)
+      .select(col("band").cast("int").as("band"), col("key"), col("doc_id"))
 
     val para = spark.sparkContext.defaultParallelism
     val a = newBands.select(col("doc_id").as("doc_a"), col("band"), col("key"))

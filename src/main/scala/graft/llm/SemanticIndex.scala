@@ -370,10 +370,15 @@ object SemanticIndex {
     * `append=false` is a pure dry-run probe (bit-identical result, no
     * state change) — the idempotent shape bench warm/timed passes need.
     *
-    * Contract: vec_ids are globally unique across batches (re-ingesting
-    * an id double-counts it), and ids must not collide across batches
-    * in a way that changes component minima — i.e. the same contract as
-    * the LSH band index.
+    * Delivery contract: ingest is IDEMPOTENT on vec_id — an id already
+    * committed to the index is absorbed (first write wins; a revised
+    * embedding under a reused id is NOT picked up), so at-least-once
+    * delivery (a streaming foreachBatch replay, a batch retry after a
+    * crash) commits each vector exactly once. Combined with the
+    * labels-before-rows write order, a retry of a mid-commit crash
+    * re-derives the batch rather than losing its edges. An id must
+    * still mean the same vector everywhere — distinct vectors sharing
+    * an id silently collapse to the first.
     */
   def ingest(newBatch: DataFrame, root: String, append: Boolean = true,
              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -430,8 +435,17 @@ object SemanticIndex {
       Some(affected))
     val oldLabels = snapshotPartitioned(spark, s"$root/labels", labelSchema,
       Some(affected))
+    // idempotence: ids already in the index are ABSORBED (first write
+    // wins) — assignment is deterministic under the frozen centroids,
+    // so a replayed id lands in the same cluster and this anti-join
+    // sees it. At-least-once delivery (a streaming foreachBatch replay,
+    // a batch retry after a crash) therefore commits each vector
+    // exactly once; see the write-order note below for the mid-commit
+    // crash window.
+    val fresh = graft.core.Checkpoints.stable(
+      assigned.join(existing.select("vec_id"), Seq("vec_id"), "left_anti"))
 
-    val edges = newPairs(assigned, existing, meta.tau)
+    val edges = newPairs(fresh, existing, meta.tau)
       .select(col("cluster"), col("id_a"), col("id_b"))
       // star edges contract each affected cluster's existing structure:
       // connectivity-equivalent to its full historical edge set
@@ -446,7 +460,16 @@ object SemanticIndex {
       // the commit point: a lease stolen mid-critical-section (operator
       // unlock, gross clock skew) must fail LOUDLY before the overwrite
       lease.foreach(_.assertOwned())
-      assigned.write.mode("append").partitionBy("cluster").parquet(s"$root/index")
+      // LABELS FIRST, index rows second: the idempotence anti-join keys
+      // on the INDEX rows, so a crash between the two writes leaves the
+      // batch "uncommitted" (ids absent from the index) and the retry
+      // re-derives everything — labels converge (the recompute unions
+      // the same edges) and the rows land once. The reverse order would
+      // make the retry skip a batch whose edges never landed: a silent
+      // permanent under-merge. Transiently, labels may reference ids
+      // not yet in the index; every read joins FROM index rows, so
+      // such rows are simply invisible until the append lands.
+      //
       // dynamic overwrite: ONLY the affected clusters' label partitions
       // are replaced (newLabels re-emits their full membership — star
       // edges are inputs); unaffected partitions are untouched files.
@@ -455,9 +478,10 @@ object SemanticIndex {
       newLabels.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster").parquet(s"$root/labels")
+      fresh.write.mode("append").partitionBy("cluster").parquet(s"$root/index")
     }
 
-    existing.select("cluster", "vec_id").unionByName(assigned.select("cluster", "vec_id"))
+    existing.select("cluster", "vec_id").unionByName(fresh.select("cluster", "vec_id"))
       .join(newLabels.select(col("cluster"), col("doc_id").as("vec_id"), col("root")),
         Seq("cluster", "vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
@@ -518,8 +542,13 @@ object SemanticIndex {
       Some(affected))
     val oldLabels = snapshotPartitioned(spark, s"$root/labels", labelSchema,
       Some(affected))
+    // idempotence: replayed ids are ABSORBED exactly as in the rank-1
+    // path (probes are deterministic under frozen centroids, so every
+    // probe row of a committed id matches an existing row's vec_id)
+    val fresh = graft.core.Checkpoints.stable(
+      assigned.join(existing.select("vec_id"), Seq("vec_id"), "left_anti"))
 
-    val edges = newPairsMultiProbe(assigned, existing, meta.tau)
+    val edges = newPairsMultiProbe(fresh, existing, meta.tau)
       .select(col("cluster"), col("id_a"), col("id_b"))
       .unionByName(oldLabels.select(col("cluster"),
         col("doc_id").as("id_a"), col("root").as("id_b")))
@@ -530,10 +559,13 @@ object SemanticIndex {
 
     if (append) {
       lease.foreach(_.assertOwned())
-      assigned.write.mode("append").partitionBy("cluster").parquet(s"$root/index")
+      // labels FIRST, index rows second — the idempotence anti-join
+      // keys on the index rows, so a mid-commit crash leaves the batch
+      // retryable instead of silently under-merged (see ingestRank1)
       newLabels.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster").parquet(s"$root/labels")
+      fresh.write.mode("append").partitionBy("cluster").parquet(s"$root/index")
     }
     newLabels.select(col("cluster"), col("doc_id"), col("root"))
   }
@@ -618,9 +650,13 @@ object SemanticIndex {
     val labels = snapshotPartitioned(spark, s"$root/labels", labelSchema)
       .join(updatedLabels.select("cluster").distinct(), Seq("cluster"), "left_anti")
       .unionByName(updatedLabels)
-    val rank1 = snapshotPartitioned(spark, s"$root/index", mpIndexSchema)
+    val persistedRank1 = snapshotPartitioned(spark, s"$root/index", mpIndexSchema)
       .filter(col("probe_rank") === 1).select(col("vec_id"), col("cluster"))
-      .unionByName(batchRank1.select(col("vec_id"), col("cluster")))
+    // ids already committed are absorbed (the ingest idempotence rule):
+    // a dry-run over a replayed batch must not double-count its rows
+    val rank1 = persistedRank1.unionByName(
+      batchRank1.select(col("vec_id"), col("cluster"))
+        .join(persistedRank1.select("vec_id"), Seq("vec_id"), "left_anti"))
     composeDecisions(rank1, labels)
   }
 

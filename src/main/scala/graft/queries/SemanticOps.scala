@@ -564,7 +564,100 @@ object SemanticOps {
       .orderBy("ivf_cluster")
   }
 
+  /** q100's STREAMED semantic index, built ONCE per (session, data dir):
+    * the whole corpus lands as three parquet chunk files under a stream
+    * source dir, and [[graft.streaming.StreamOps.semanticIndexStream]]
+    * drains them one file per micro-batch (maxFilesPerTrigger=1) into a
+    * rank-1 index whose centroids were frozen on the %4!=0 slice — the
+    * q97 ingest loop driven by Structured Streaming instead of a caller
+    * loop. Then the fixture simulates the WORST restart: the checkpoint
+    * is discarded and the stream re-runs end to end, re-delivering
+    * every file. Ingest's id-level idempotence must absorb the full
+    * replay — `require`d on the index row count here, and hash-gated
+    * downstream: a lost micro-batch, a double-committed replay, or a
+    * divergence between the streamed and monolithic states is a red
+    * CORRECTNESS row.
+    */
+  private def streamedSemRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_semidx_st_") { root =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val idx = s"$root/idx"
+      SemanticIndex.init(s, idx, emb.filter(col("vec_id") % 4 =!= 0),
+        Tau, TargetCluster.toLong, Iters)
+      val src = s"$root/src"
+      (0 until 3).foreach { i =>
+        emb.filter(pmod(col("vec_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      def stream() = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      require(graft.streaming.StreamOps
+        .semanticIndexStream(stream(), idx, s"$root/ck1").awaitTermination(300000),
+        "q100 fixture premise: the stream must drain")
+      val rows = s.read.parquet(s"$idx/index").count()
+      require(graft.streaming.StreamOps
+        .semanticIndexStream(stream(), idx, s"$root/ck2").awaitTermination(300000),
+        "q100 fixture premise: the replay stream must drain")
+      require(s.read.parquet(s"$idx/index").count() == rows,
+        "q100 fixture premise: the full checkpoint replay added index rows")
+    }
+
+  /** q100: STREAMING ingest into the persisted semantic index — q97's
+    * incremental dedup loop as Structured Streaming, exactly-once under
+    * at-least-once delivery (see [[streamedSemRoot]]: the fixture
+    * replays the ENTIRE stream from a lost checkpoint). The declared
+    * result is the full corpus's per-cluster dedup aggregate read from
+    * the streamed index; the oracle replays one monolithic
+    * frozen-centroid rebuild, so micro-batch boundaries, the commit
+    * order, and replay absorption must all be invisible in the final
+    * state — the q97 batches≡rebuild theorem extended to the streaming
+    * surface.
+    */
+  val semanticStreamIngest: Q = Q(
+    "q100_semantic_stream_ingest",
+    s"""WITH RECURSIVE ${IvfSearch.duckIndexCtesTrainedK(KSqlTrain, Iters, "vec_id % 4 <> 0")},
+       |bn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cluster, ${duckNorm("embedding")} AS nrm
+       |  FROM idx),
+       |edges AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bn a JOIN bn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $Tau),
+       |edgesu AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM edges
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT x AS id, x AS label FROM edgesu
+       |  UNION
+       |  SELECT e.x AS id, l.label FROM lab l JOIN edgesu e ON e.y = l.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(label) AS label FROM lab GROUP BY id)
+       |  WHERE id <> label)
+       |SELECT CAST(i.cluster AS BIGINT) AS ivf_cluster,
+       |       COUNT(*) AS n_members,
+       |       CAST(COUNT(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids
+       |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = streamedSemRoot(s, d)
+    val full = graft.core.Checkpoints.stable(SemanticIndex.decisions(s, s"$root/idx"))
+    val p = full.agg(count(lit(1)).as("total"),
+      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
+    // every vector exactly once: a lost micro-batch or a double-committed
+    // replay is loud here before the hash gate even runs
+    require(p.getLong(0) == Tables.embeddings(s, d).count(),
+      s"q100 premise: streamed index holds ${p.getLong(0)} vectors, not the corpus")
+    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
+      s"q100 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
+    full
+      .groupBy(col("cluster").cast("long").as("ivf_cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
+      .orderBy("ivf_cluster")
+  }
+
   val all: Seq[Q] = Seq(semanticDedup, semanticDedupMultiProbe,
     semanticIncremental.gated, semanticIncrementalMultiProbe.gated,
-    semanticRetrainLoop.gated)
+    semanticRetrainLoop.gated, semanticStreamIngest.gated)
 }

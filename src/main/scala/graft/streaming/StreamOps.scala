@@ -119,4 +119,46 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) => process(batch) }
       .start()
   }
+
+  /** Streaming ingest into the persisted SEMANTIC index — the
+    * Structured-Streaming form of the q97/q98 ingest loop: each
+    * micro-batch commits through [[graft.llm.SemanticIndex.ingest]],
+    * whose id-level idempotence upgrades the sink's at-least-once
+    * replay semantics (foreachBatch re-delivers the in-flight batch
+    * after a failure or a checkpoint restart) to EXACTLY-ONCE index
+    * state — no marker files, no two-phase commit: a replayed id is
+    * absorbed structurally, so the checkpoint and the index can never
+    * disagree, even if the checkpoint is lost entirely and the whole
+    * stream replays. Committing micro-batches serialize through the
+    * index's dir lease like any other writer. `AvailableNow` by
+    * default (drain everything present, then stop — the maintenance-
+    * window cadence); pass a ProcessingTime trigger to tail
+    * continuously. Input must carry (`vec_id`, `embedding`).
+    */
+  def semanticIndexStream(vectors: DataFrame, root: String, checkpoint: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.SemanticIndex.ingest(batch, root).count(): Unit
+      }
+      .start()
+
+  /** Streaming ingest into the persisted MinHash-LSH band index — the
+    * q69 incremental near-dup loop as a stream. Same exactly-once
+    * construction as [[semanticIndexStream]]: per-micro-batch commits
+    * through [[graft.llm.Dedup.minhashLshIncremental]], which absorbs
+    * replayed doc ids, so at-least-once delivery leaves exactly-once
+    * index state. Input must carry (`doc_id`, `text`).
+    */
+  def lshIndexStream(docs: DataFrame, root: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Dedup.minhashLshIncremental(batch, root).count(): Unit
+      }
+      .start()
 }

@@ -84,6 +84,50 @@ class IncrementalLshSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("at-least-once delivery: a replayed batch is absorbed; a mid-commit retry lands exactly once") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").cache()
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    // reference: the same sequence, no crash, no replay
+    val ref = tmpDir("lsh_idx_alref")
+    Dedup.initLshIndex(spark, ref)
+    Dedup.minhashLshIncremental(b1, ref).count()
+    val p2 = pairSet(Dedup.minhashLshIncremental(b2, ref))
+    assert(p2.nonEmpty, "test premise: batch 2 must find pairs")
+    val probeRef = pairSet(Dedup.minhashLshIncremental(probe, ref, append = false))
+
+    val root = tmpDir("lsh_idx_al")
+    Dedup.initLshIndex(spark, root)
+    Dedup.minhashLshIncremental(b1, root).count()
+    def files(sub: String): Set[java.io.File] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSet
+    val hBefore = files("hashes")
+    assert(pairSet(Dedup.minhashLshIncremental(b2, root)) == p2)
+
+    // the replay of a fully committed batch: absorbed — no pairs, no rows
+    val hAfter = files("hashes")
+    val hashRows = spark.read.parquet(s"$root/hashes").count()
+    assert(pairSet(Dedup.minhashLshIncremental(b2, root)).isEmpty,
+      "a replayed committed batch must be absorbed")
+    assert(spark.read.parquet(s"$root/hashes").count() == hashRows,
+      "a replay must not append hash rows")
+
+    // mid-commit crash: bands landed, hashes did not (the write order) —
+    // the idempotence anti-join keys on hashes, so the retry re-derives
+    // the batch; its duplicate band rows are absorbed by the candidate
+    // dedup, never reaching results
+    val added = hAfter -- hBefore
+    assert(added.nonEmpty, "test premise: the batch must have appended hash files")
+    added.foreach(f => assert(f.delete(), s"cannot delete $f"))
+    assert(pairSet(Dedup.minhashLshIncremental(b2, root)) == p2,
+      "the mid-commit retry must re-derive the batch's pairs exactly")
+    assert(pairSet(Dedup.minhashLshIncremental(probe, root, append = false)) == probeRef,
+      "the healed index must serve future probes identically to the no-crash reference")
+    docs.unpersist()
+  }
+
   test("mid-swap compaction crash: dry-runs read the parked copy; a committing append restores it") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").cache()
     val b1 = docs.filter(col("doc_id") % 2 === 0)

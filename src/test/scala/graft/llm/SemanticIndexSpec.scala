@@ -445,6 +445,63 @@ class SemanticIndexSpec extends SparkSpec {
       "ingest after a mid-swap compaction crash lost the parked rows")
   }
 
+  test("at-least-once delivery: a replayed committed batch is an absorbed no-op (both probe modes)") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val b1 = corpus.filter(col("vec_id") % 2 === 0)
+    val b2 = corpus.filter(col("vec_id") % 2 === 1)
+    for (nProbe <- Seq(1, 2)) {
+      val root = tmpDir(s"sem_idx_replay$nProbe")
+      SemanticIndex.init(spark, root, train, Tau, nProbe = nProbe)
+      SemanticIndex.ingest(b1, root).count()
+      SemanticIndex.ingest(b2, root).count()
+      val expected = decisionSet(SemanticIndex.decisions(spark, root))
+      val rows = spark.read.parquet(s"$root/index").count()
+      // the replay: a streaming foreachBatch re-delivery / a caller retry
+      SemanticIndex.ingest(b1, root).count()
+      assert(spark.read.parquet(s"$root/index").count() == rows,
+        s"nProbe=$nProbe: a replayed batch must not add index rows")
+      assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+        s"nProbe=$nProbe: a replayed batch changed decisions")
+    }
+  }
+
+  test("mid-commit crash (labels landed, index rows lost): the retry re-derives the batch exactly once") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val b2 = corpus.filter(col("vec_id") % 4 === 0)
+    for (nProbe <- Seq(1, 2)) {
+      // reference: the same sequence, no crash
+      val ref = tmpDir(s"sem_idx_mcref$nProbe")
+      SemanticIndex.init(spark, ref, train, Tau, nProbe = nProbe)
+      SemanticIndex.ingest(train, ref).count()
+      SemanticIndex.ingest(b2, ref).count()
+      val expected = decisionSet(SemanticIndex.decisions(spark, ref))
+
+      val root = tmpDir(s"sem_idx_midcommit$nProbe")
+      SemanticIndex.init(spark, root, train, Tau, nProbe = nProbe)
+      SemanticIndex.ingest(train, root).count()
+      def indexFiles(): Set[java.io.File] =
+        Option(new java.io.File(s"$root/index").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("cluster="))
+          .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))).toSet
+      val before = indexFiles()
+      SemanticIndex.ingest(b2, root).count()
+      // simulate the exact crash window the labels-first write order
+      // leaves: the label overwrite landed, the index append did not —
+      // the batch's ids are absent from the index, so the retry's
+      // idempotence anti-join re-derives everything instead of skipping
+      // a batch whose rows never landed
+      val added = indexFiles() -- before
+      assert(added.nonEmpty, "test premise: the batch must have appended index files")
+      added.foreach(f => assert(f.delete(), s"cannot delete $f"))
+      SemanticIndex.ingest(b2, root).count() // the retry
+      assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+        s"nProbe=$nProbe: the mid-commit retry diverged from the no-crash reference")
+      assert(spark.read.parquet(s"$root/index").count() ==
+        spark.read.parquet(s"$ref/index").count(),
+        s"nProbe=$nProbe: the retry must land the batch's rows exactly once")
+    }
+  }
+
   test("a lease-free reader never hijacks a live retrain's swap window") {
     val root = tmpDir("sem_idx_noswipe")
     SemanticIndex.init(spark, root, corpus.limit(60), Tau)
