@@ -300,6 +300,12 @@ object SemanticIndex {
     // content-identical to what the swap installs, so either side of
     // the window reads the same values. Clusters present in BOTH are
     // read from live only (the trash copy is a post-swap leftover).
+    // Known and accepted: a reader racing the swap/restore RENAMES
+    // themselves (live listed before the rename, trash after the reap)
+    // can still see neither copy for that instant, or fail loudly on a
+    // moved file — the pre-existing loose-snapshot contract for reads
+    // concurrent with maintenance; the fallback removes the PERSISTENT
+    // wrong-answer states, not the instantaneous rename race.
     val trashBase = new org.apache.hadoop.fs.Path(s"$dir.trash")
     val liveSet = live.map(_._1).toSet
     val parked =
