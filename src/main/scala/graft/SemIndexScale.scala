@@ -54,7 +54,7 @@ object SemIndexScale {
     val n = corpus.count()
     val root = if (args.length > 2) args(2)
       else java.nio.file.Files.createTempDirectory("graft_semidx_scale_").toString
-    if (!new java.io.File(s"$root/meta.json").exists()) {
+    if (!llm.SemanticIndex.exists(spark, root)) {
       val train = corpus.filter(pmod(col("vec_id"), lit(batches)) === 0)
       val t0 = System.nanoTime()
       llm.SemanticIndex.init(spark, root, train, tau = 0.35, nProbe = nProbe)

@@ -234,7 +234,7 @@ object SemanticOps {
     * are reaped at JVM exit.
     *
     * After the appends the fixture forces a [[SemanticIndex.compact]]
-    * park-and-swap, `require`d to actually rewrite (three appends leave
+    * manifest-committed rewrite, `require`d to actually compact (three appends leave
     * multi-file cluster partitions) — the q69 pattern: a compaction
     * that loses or duplicates index/label rows makes the downstream
     * hash gate a red CORRECTNESS row, so maintenance is oracle-covered,
@@ -333,7 +333,7 @@ object SemanticOps {
     * per (session, data dir) — the q97 fixture shape with the q96
     * recall semantics: centroids frozen on the %4!=0 slice, the slice
     * ingested in the same three incremental appends, then a forced
-    * park-and-swap compaction `require`d to rewrite. Every index row is
+    * manifest-committed compaction `require`d to rewrite. Every index row is
     * stored per probe and every label partition holds star-contracted
     * LOCAL components of the edges canonicalized to that cluster; the
     * cross-cluster quotient is read-time.
@@ -594,11 +594,11 @@ object SemanticOps {
       require(graft.streaming.StreamOps
         .semanticIndexStream(stream(), idx, s"$root/ck1").awaitTermination(300000),
         "q100 fixture premise: the stream must drain")
-      val rows = s.read.parquet(s"$idx/index").count()
+      val rows = SemanticIndex.indexRows(s, idx).count()
       require(graft.streaming.StreamOps
         .semanticIndexStream(stream(), idx, s"$root/ck2").awaitTermination(300000),
         "q100 fixture premise: the replay stream must drain")
-      require(s.read.parquet(s"$idx/index").count() == rows,
+      require(SemanticIndex.indexRows(s, idx).count() == rows,
         "q100 fixture premise: the full checkpoint replay added index rows")
     }
 
@@ -657,7 +657,104 @@ object SemanticOps {
       .orderBy("ivf_cluster")
   }
 
+  /** q101's time-travel fixture, built ONCE per (session, data dir):
+    * init on the %4!=0 slice, ingest that slice in two batches, PIN the
+    * manifest seq, then mutate the index three ways a pinned reader
+    * must never see — ingest the %4==0 batch, a forced compaction
+    * (rewrites live files), and a full retrain (replaces every file,
+    * the centroids, and the meta document). The pin and the index root
+    * are both returned via the fixture dir.
+    */
+  private def timeTravelSemRoot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.core.SessionTempRoots.of(s, d, "graft_semidx_tt_") { root =>
+      val corpus = Tables.embeddings(s, d)
+      val prefix = corpus.filter(col("vec_id") % 4 =!= 0)
+      val idx = s"$root/idx"
+      SemanticIndex.init(s, idx, prefix, Tau, TargetCluster.toLong, Iters)
+      SemanticIndex.ingest(prefix.filter(col("vec_id") % 2 === 1), idx).count()
+      SemanticIndex.ingest(prefix.filter(col("vec_id") % 2 === 0), idx).count()
+      val pin = SemanticIndex.currentVersion(idx)
+      // the future the pin must not see: an ingest, a compaction that
+      // rewrites the pinned clusters' files, and a retrain that swaps
+      // the whole index including its quantizer
+      SemanticIndex.ingest(corpus.filter(col("vec_id") % 4 === 0), idx).count()
+      val (cb, ca) = SemanticIndex.compact(s, idx)
+      require(ca < cb, s"q101 fixture premise: compaction was a no-op ($cb -> $ca files)")
+      SemanticIndex.retrain(s, idx)
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "pin.txt"),
+        pin.toString.getBytes("UTF-8")): Unit
+    }
+
+  /** q101: INDEX TIME TRAVEL — the q71 catalog shape on the persisted
+    * semantic index, possible only because every ingest/compact/retrain
+    * is a versioned manifest commit (round 17's protocol change: no
+    * rename ever moves a file a reader could hold, so a pinned seq
+    * stays byte-readable until an explicit vacuum). The declared result
+    * reads [[SemanticIndex.decisionsAsOf]] at a seq pinned BEFORE a
+    * later ingest, a compaction that rewrote the pinned clusters'
+    * files, and a full retrain; the oracle replays the monolithic
+    * frozen-centroid rebuild of the PREFIX corpus only. Any leak of
+    * post-pin state — the new batch's rows, the compacted rewrite, the
+    * retrained quantizer or labels — is a red CORRECTNESS row.
+    */
+  val semanticTimeTravel: Q = Q(
+    "q101_semantic_time_travel",
+    s"""WITH RECURSIVE corpus101 AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+       |${IvfSearch.duckIndexCtesFrom(
+            s"(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / $TargetCluster.0) AS BIGINT)) FROM corpus101)",
+            Iters, "corpus101")},
+       |bn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cluster, ${duckNorm("embedding")} AS nrm
+       |  FROM idx),
+       |edges AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bn a JOIN bn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $Tau),
+       |edgesu AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM edges
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM edges),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT x AS id, x AS label FROM edgesu
+       |  UNION
+       |  SELECT e.x AS id, l.label FROM lab l JOIN edgesu e ON e.y = l.id),
+       |dropped AS (
+       |  SELECT id FROM (SELECT id, MIN(label) AS label FROM lab GROUP BY id)
+       |  WHERE id <> label)
+       |SELECT CAST(i.cluster AS BIGINT) AS ivf_cluster,
+       |       COUNT(*) AS n_members,
+       |       CAST(COUNT(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids
+       |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = timeTravelSemRoot(s, d)
+    val pin = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "pin.txt")), "UTF-8").trim.toLong
+    val idx = s"$root/idx"
+    val pinned = graft.core.Checkpoints.stable(
+      SemanticIndex.decisionsAsOf(s, idx, pin))
+    val corpus = Tables.embeddings(s, d)
+    val p = pinned.agg(count(lit(1)).as("total"),
+      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
+    // the premise IS the feature: the pinned view holds exactly the
+    // prefix corpus while the LIVE index has since ingested the rest
+    // and been retrained
+    require(p.getLong(0) == corpus.filter(col("vec_id") % 4 =!= 0).count(),
+      s"q101 premise: pinned view holds ${p.getLong(0)} vectors, not the prefix corpus")
+    require(SemanticIndex.decisions(s, idx).count() == corpus.count(),
+      "q101 premise: the live index must have moved past the pin")
+    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
+      s"q101 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
+    pinned
+      .groupBy(col("cluster").cast("long").as("ivf_cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
+      .orderBy("ivf_cluster")
+  }
+
   val all: Seq[Q] = Seq(semanticDedup, semanticDedupMultiProbe,
     semanticIncremental.gated, semanticIncrementalMultiProbe.gated,
-    semanticRetrainLoop.gated, semanticStreamIngest.gated)
+    semanticRetrainLoop.gated, semanticStreamIngest.gated,
+    semanticTimeTravel.gated)
 }

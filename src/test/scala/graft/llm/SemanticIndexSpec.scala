@@ -107,7 +107,7 @@ class SemanticIndexSpec extends SparkSpec {
     assert(stateFiles() == before, "append=false must not touch index state")
   }
 
-  test("append rewrites ONLY affected clusters' label partitions") {
+  test("append swaps ONLY affected clusters' label files, in one atomic commit") {
     val train = corpus.filter(col("vec_id") % 4 =!= 0)
     val root = tmpDir("sem_idx_part")
     SemanticIndex.init(spark, root, train, Tau)
@@ -116,17 +116,16 @@ class SemanticIndexSpec extends SparkSpec {
     val batch = corpus.filter(col("vec_id") % 4 === 0).orderBy("vec_id").limit(1)
     val affected = SemanticIndex.ingest(batch, root, append = false)
       .select("cluster").distinct().collect().map(_.getInt(0)).toSet
-    val labelDirs = Option(new java.io.File(s"$root/labels").listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("cluster="))
-    val untouched = labelDirs.filterNot(d =>
-      affected(d.getName.stripPrefix("cluster=").toInt))
-    assume(untouched.nonEmpty, "need at least one unaffected labeled cluster")
-    def snap(d: java.io.File): Set[String] =
-      d.listFiles().map(f => f.getPath + ":" + f.lastModified).toSet
-    val before = untouched.map(snap)
+    def liveLabels() = graft.storage.IndexManifest.state(root).files
+      .filter(_.sub == "labels")
+    val before = liveLabels().filterNot(f => affected(f.cluster)).toSet
+    assume(before.nonEmpty, "need at least one unaffected labeled cluster")
+    val seq0 = SemanticIndex.currentVersion(root)
     SemanticIndex.ingest(batch, root).count()
-    assert(untouched.map(snap) == before,
-      "an unaffected cluster's label partition was rewritten")
+    assert(liveLabels().filterNot(f => affected(f.cluster)).toSet == before,
+      "an unaffected cluster's label files were swapped")
+    assert(SemanticIndex.currentVersion(root) == seq0 + 1,
+      "the batch's rows and label swap must land as ONE manifest commit")
   }
 
   test("compact: bounded files, decisions bit-invariant, no-op when clean, O(oversize) rewrite") {
@@ -141,62 +140,64 @@ class SemanticIndexSpec extends SparkSpec {
     val expected = decisionSet(SemanticIndex.decisions(spark, root))
 
     def maxFilesPerCluster(sub: String): Int =
-      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("cluster="))
-        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      graft.storage.IndexManifest.state(root).files.filter(_.sub == sub)
+        .groupBy(_.cluster).valuesIterator.map(_.length).max
     assert(maxFilesPerCluster("index") > 1,
-      "test premise: appends must have accreted multi-file partitions")
+      "test premise: appends must have accreted multi-file clusters")
 
     val (b, a) = SemanticIndex.compact(spark, root)
     assert(a < b, s"compaction must rewrite ($b -> $a)")
     assert(maxFilesPerCluster("index") == 1 && maxFilesPerCluster("labels") == 1,
-      "every partition must be single-file after compaction at this scale")
+      "every cluster must be single-file after compaction at this scale")
     assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
       "decisions must be bit-invariant under compaction")
+    val seqAfter = SemanticIndex.currentVersion(root)
     val (b2, a2) = SemanticIndex.compact(spark, root)
     assert(b2 == a2, "a second compaction must be a no-op")
+    assert(SemanticIndex.currentVersion(root) == seqAfter,
+      "a no-op compaction must not publish a version")
 
     // O(oversize): one more single-vector append dirties exactly one
-    // index partition; recompacting must rewrite that one and leave
-    // every other partition's files (paths + mtimes) untouched
+    // index cluster; recompacting must rewrite that one and leave every
+    // other cluster's live files (paths) untouched
     val one = corpus.filter(col("vec_id") % 4 === 0).orderBy("vec_id").limit(1)
       .withColumn("vec_id", col("vec_id") + 5000000L)
     val dirty = SemanticIndex.ingest(one, root).select("cluster").distinct()
       .collect().map(_.getInt(0)).toSet
-    def snapOthers(sub: String): Set[String] =
-      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
-        .filter(d => d.getName.startsWith("cluster=") &&
-          !dirty(d.getName.stripPrefix("cluster=").toInt))
-        .flatMap(_.listFiles().map(f => f.getPath + ":" + f.lastModified)).toSet
-    val othersBefore = (snapOthers("index"), snapOthers("labels"))
+    def othersLive(): Set[(String, Int, String)] =
+      graft.storage.IndexManifest.state(root).files
+        .filterNot(f => dirty(f.cluster))
+        .map(f => (f.sub, f.cluster, f.path)).toSet
+    val othersBefore = othersLive()
     val (b3, a3) = SemanticIndex.compact(spark, root)
-    assert(a3 < b3, "the dirtied partition must be rewritten")
-    assert((snapOthers("index"), snapOthers("labels")) == othersBefore,
-      "compaction must not touch clean partitions")
+    assert(a3 < b3, "the dirtied cluster must be rewritten")
+    assert(othersLive() == othersBefore,
+      "compaction must not touch clean clusters")
   }
 
-  test("crash leftovers and stray dirs never leak into reads") {
+  test("orphan payload files (a crashed writer's) never leak into reads; vacuum reaps them") {
     val train = corpus.filter(col("vec_id") % 4 =!= 0)
     val root = tmpDir("sem_idx_stray")
     SemanticIndex.init(spark, root, train, Tau)
     SemanticIndex.ingest(train, root).count()
     val expected = decisionSet(SemanticIndex.decisions(spark, root))
-    // a crashed compaction's staging sibling + an unparseable dir inside
-    // the live tree, both holding real parquet — neither may be read
-    val aCluster = new java.io.File(s"$root/index").listFiles()
-      .filter(_.getName.startsWith("cluster=")).head
-    val aFile = aCluster.listFiles().filter(_.getName.endsWith(".parquet")).head
-    for (stray <- Seq(s"$root/index.compacting/cluster=0", s"$root/index/cluster=junk")) {
-      new java.io.File(stray).mkdirs()
-      java.nio.file.Files.copy(aFile.toPath,
-        java.nio.file.Paths.get(stray, aFile.getName))
-    }
+    // a crashed writer's unpublished payload: REAL parquet under files/,
+    // absent from the manifest — invisible by construction
+    val aLive = graft.storage.IndexManifest.state(root).files
+      .find(_.sub == "index").get
+    val orphan = java.nio.file.Paths.get(root, "files/orphan-uuid/pc=0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(root, aLive.path),
+      orphan.resolve("dead.parquet"))
     assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-      "a stray dir leaked rows into the snapshot read")
-    // and the next compaction reaps the staging leftover
-    SemanticIndex.compact(spark, root)
-    assert(!new java.io.File(s"$root/index.compacting").exists(),
-      "crash leftovers must be reaped on the next compact")
+      "an unpublished payload file leaked rows into the read")
+    assert(SemanticIndex.indexRows(spark, root).count() == train.count(),
+      "an unpublished payload file leaked rows into the raw read")
+    val (reaped, _) = SemanticIndex.vacuum(spark, root)
+    assert(reaped >= 1, "vacuum must reap the orphan payload")
+    assert(!java.nio.file.Files.exists(orphan.resolve("dead.parquet")))
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "vacuum must keep every live file")
   }
 
   // ---- multi-probe (nProbe=2) boundary recall — VERDICT r15 top ask ----
@@ -336,136 +337,25 @@ class SemanticIndexSpec extends SparkSpec {
     assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
       "multi-probe decisions must be bit-invariant under compaction")
     SemanticIndex.retrain(spark, root)
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/meta.json")), "UTF-8")
+    val meta = SemanticIndex.metaJson(spark, root)
     assert(meta.contains("\"n_probe\":2"), s"retrain must inherit the probe mode: $meta")
     assert(SemanticIndex.decisions(spark, root).count() == corpus.count(),
       "retrain must preserve every vector exactly once in the rank-1 view")
   }
 
-  test("mid-swap compaction crash: the parked partition is RESTORED before reaping, no row lost") {
-    val train = corpus.filter(col("vec_id") % 4 =!= 0)
-    val root = tmpDir("sem_idx_crash")
-    SemanticIndex.init(spark, root, train, Tau)
-    SemanticIndex.ingest(train, root).count()
-    val expected = decisionSet(SemanticIndex.decisions(spark, root))
-
-    // simulate the exact crash window: park rename done (live/cluster=N
-    // -> trash), swap rename NOT done (staged copy still in .compacting)
-    // — trash now holds the ONLY live-tree copy of that cluster
-    val live = new java.io.File(s"$root/index").listFiles()
-      .filter(_.getName.startsWith("cluster=")).head
-    val c = live.getName
-    new java.io.File(s"$root/index.trash").mkdirs()
-    val staged = new java.io.File(s"$root/index.compacting/$c")
-    staged.mkdirs()
-    live.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
-      java.nio.file.Paths.get(staged.getPath, f.getName)))
-    assert(live.renameTo(new java.io.File(s"$root/index.trash/$c")))
-
-    // the pre-r16 reap order (delete trash+staged first) would lose the
-    // cluster here; the restore-first order must recover every row
-    SemanticIndex.compact(spark, root)
-    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-      "a mid-swap compaction crash lost rows")
-    assert(!new java.io.File(s"$root/index.compacting").exists() &&
-      !new java.io.File(s"$root/index.trash").exists(),
-      "recovery must still reap the staging dirs")
+  /** Simulate the ONLY crash window the manifest protocol has: payload
+    * files written, the publish never landed — by deleting the last
+    * published version file (the publish is the commit's final step, so
+    * this is exactly the on-disk state a crash one instruction earlier
+    * leaves).
+    */
+  private def unpublishLast(root: String): Unit = {
+    val seq = SemanticIndex.currentVersion(root)
+    val p = java.nio.file.Paths.get(root, "_versions", f"$seq%020d.json")
+    assert(java.nio.file.Files.deleteIfExists(p), s"no version file at $p")
   }
 
-  test("mid-swap retrain crash: the parked root is restored by the next call") {
-    val train = corpus.filter(col("vec_id") % 4 =!= 0)
-    val root = tmpDir("sem_idx_rtcrash")
-    SemanticIndex.init(spark, root, train, Tau)
-    SemanticIndex.ingest(train, root).count()
-    val expected = decisionSet(SemanticIndex.decisions(spark, root))
-
-    // simulate retrain's crash window: old root parked at <root>.trash,
-    // staging half-built, live root ABSENT — the pre-r16 readMeta failed
-    // on the missing root and the documented recovery never ran
-    new java.io.File(s"$root.retraining").mkdirs()
-    assert(new java.io.File(root).renameTo(new java.io.File(s"$root.trash")))
-
-    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-      "the parked index must be auto-restored on the next read")
-    assert(new java.io.File(s"$root/meta.json").exists() &&
-      !new java.io.File(s"$root.trash").exists(),
-      "restore must rename the parked root back into place")
-  }
-
-  test("crash window: a lease-free read sees the parked partition, read-only") {
-    val train = corpus.filter(col("vec_id") % 4 =!= 0)
-    val root = tmpDir("sem_idx_crashread")
-    SemanticIndex.init(spark, root, train, Tau)
-    SemanticIndex.ingest(train, root).count()
-    val expected = decisionSet(SemanticIndex.decisions(spark, root))
-
-    // park one cluster exactly as a compaction's park rename does, the
-    // swap rename never arriving (mid-swap crash / concurrent window)
-    val live = new java.io.File(s"$root/index").listFiles()
-      .filter(_.getName.startsWith("cluster=")).head
-    new java.io.File(s"$root/index.trash").mkdirs()
-    assert(live.renameTo(new java.io.File(s"$root/index.trash/${live.getName}")))
-
-    // a pure read (no lease, no writes): the fallback must surface the
-    // parked copy — silently omitting the cluster is a WRONG answer,
-    // not a stale one
-    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-      "a lease-free read silently dropped the crash-parked partition")
-    assert(new java.io.File(s"$root/index.trash/${live.getName}").isDirectory,
-      "a read mutated the parked partition — reads must be read-only")
-  }
-
-  test("crash window: a committing ingest RESTORES the parked partition before appending") {
-    val train = corpus.filter(col("vec_id") % 4 =!= 0)
-    val extra = corpus.filter(col("vec_id") % 4 === 0)
-    // reference: the same batch sequence, no crash
-    val ref = tmpDir("sem_idx_ingref")
-    SemanticIndex.init(spark, ref, train, Tau)
-    SemanticIndex.ingest(train, ref).count()
-    SemanticIndex.ingest(extra, ref).count()
-    val expected = decisionSet(SemanticIndex.decisions(spark, ref))
-
-    val root = tmpDir("sem_idx_ingcrash")
-    SemanticIndex.init(spark, root, train, Tau)
-    SemanticIndex.ingest(train, root).count()
-    val parked = new java.io.File(s"$root/index").listFiles()
-      .filter(_.getName.startsWith("cluster=")).head
-    new java.io.File(s"$root/index.trash").mkdirs()
-    assert(parked.renameTo(new java.io.File(s"$root/index.trash/${parked.getName}")))
-
-    // the committing ingest must rename the parked partition back BEFORE
-    // appending: an append into a fresh cluster dir would shadow the
-    // parked rows for every later read (the fallback only fires while
-    // live is missing) and the next maintenance reap would delete them
-    SemanticIndex.ingest(extra, root).count()
-    assert(!new java.io.File(s"$root/index.trash").exists(),
-      "a committing ingest must restore and reap the crash leftovers")
-    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-      "ingest after a mid-swap compaction crash lost the parked rows")
-  }
-
-  test("at-least-once delivery: a replayed committed batch is an absorbed no-op (both probe modes)") {
-    val train = corpus.filter(col("vec_id") % 4 =!= 0)
-    val b1 = corpus.filter(col("vec_id") % 2 === 0)
-    val b2 = corpus.filter(col("vec_id") % 2 === 1)
-    for (nProbe <- Seq(1, 2)) {
-      val root = tmpDir(s"sem_idx_replay$nProbe")
-      SemanticIndex.init(spark, root, train, Tau, nProbe = nProbe)
-      SemanticIndex.ingest(b1, root).count()
-      SemanticIndex.ingest(b2, root).count()
-      val expected = decisionSet(SemanticIndex.decisions(spark, root))
-      val rows = spark.read.parquet(s"$root/index").count()
-      // the replay: a streaming foreachBatch re-delivery / a caller retry
-      SemanticIndex.ingest(b1, root).count()
-      assert(spark.read.parquet(s"$root/index").count() == rows,
-        s"nProbe=$nProbe: a replayed batch must not add index rows")
-      assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-        s"nProbe=$nProbe: a replayed batch changed decisions")
-    }
-  }
-
-  test("mid-commit crash (labels landed, index rows lost): the retry re-derives the batch exactly once") {
+  test("crash before publish: nothing visible, the retry re-derives the batch exactly once") {
     val train = corpus.filter(col("vec_id") % 4 =!= 0)
     val b2 = corpus.filter(col("vec_id") % 4 === 0)
     for (nProbe <- Seq(1, 2)) {
@@ -479,65 +369,112 @@ class SemanticIndexSpec extends SparkSpec {
       val root = tmpDir(s"sem_idx_midcommit$nProbe")
       SemanticIndex.init(spark, root, train, Tau, nProbe = nProbe)
       SemanticIndex.ingest(train, root).count()
-      def indexFiles(): Set[java.io.File] =
-        Option(new java.io.File(s"$root/index").listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("cluster="))
-          .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))).toSet
-      val before = indexFiles()
+      val preCrash = decisionSet(SemanticIndex.decisions(spark, root))
       SemanticIndex.ingest(b2, root).count()
-      // simulate the exact crash window the labels-first write order
-      // leaves: the label overwrite landed, the index append did not —
-      // the batch's ids are absent from the index, so the retry's
-      // idempotence anti-join re-derives everything instead of skipping
-      // a batch whose rows never landed
-      val added = indexFiles() -- before
-      assert(added.nonEmpty, "test premise: the batch must have appended index files")
-      added.foreach(f => assert(f.delete(), s"cannot delete $f"))
+      unpublishLast(root) // the crash: payloads on disk, commit never landed
+      // the batch is INVISIBLE in its entirety — no transient zero-kept
+      // components, no labels referencing unpublished rows (the windows
+      // the old labels-first write order had to argue away)
+      assert(decisionSet(SemanticIndex.decisions(spark, root)) == preCrash,
+        s"nProbe=$nProbe: a crashed commit leaked partial state into reads")
       SemanticIndex.ingest(b2, root).count() // the retry
       assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
-        s"nProbe=$nProbe: the mid-commit retry diverged from the no-crash reference")
-      assert(spark.read.parquet(s"$root/index").count() ==
-        spark.read.parquet(s"$ref/index").count(),
+        s"nProbe=$nProbe: the post-crash retry diverged from the no-crash reference")
+      assert(SemanticIndex.indexRows(spark, root).count() ==
+        SemanticIndex.indexRows(spark, ref).count(),
         s"nProbe=$nProbe: the retry must land the batch's rows exactly once")
+      // the crashed attempt's payloads are orphans; vacuum reclaims them
+      assert(SemanticIndex.vacuum(spark, root)._1 >= 1,
+        s"nProbe=$nProbe: vacuum must reap the crashed attempt's payload files")
     }
   }
 
-  test("a lease-free reader never hijacks a live retrain's swap window") {
-    val root = tmpDir("sem_idx_noswipe")
+  test("crash before a retrain's publish: the old index stays live and intact") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_rtcrash")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val expected = decisionSet(SemanticIndex.decisions(spark, root))
+    val metaBefore = SemanticIndex.metaJson(spark, root)
+
+    SemanticIndex.retrain(spark, root)
+    unpublishLast(root) // the crash: rebuilt payloads on disk, swap never published
+
+    // no swap window exists: the pre-retrain index IS the live index
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+      "a crashed retrain must leave the old index exactly as it was")
+    assert(SemanticIndex.metaJson(spark, root) == metaBefore,
+      "a crashed retrain must not change the live meta")
+    // and the retry converges
+    SemanticIndex.retrain(spark, root)
+    assert(SemanticIndex.decisions(spark, root).count() == train.count(),
+      "the retried retrain must rebuild the full corpus")
+  }
+
+  test("at-least-once delivery: a replayed committed batch is an absorbed no-op (both probe modes)") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val b1 = corpus.filter(col("vec_id") % 2 === 0)
+    val b2 = corpus.filter(col("vec_id") % 2 === 1)
+    for (nProbe <- Seq(1, 2)) {
+      val root = tmpDir(s"sem_idx_replay$nProbe")
+      SemanticIndex.init(spark, root, train, Tau, nProbe = nProbe)
+      SemanticIndex.ingest(b1, root).count()
+      SemanticIndex.ingest(b2, root).count()
+      val expected = decisionSet(SemanticIndex.decisions(spark, root))
+      val rows = SemanticIndex.indexRows(spark, root).count()
+      val seq = SemanticIndex.currentVersion(root)
+      // the replay: a streaming foreachBatch re-delivery / a caller retry
+      SemanticIndex.ingest(b1, root).count()
+      assert(SemanticIndex.indexRows(spark, root).count() == rows,
+        s"nProbe=$nProbe: a replayed batch must not add index rows")
+      assert(SemanticIndex.currentVersion(root) == seq,
+        s"nProbe=$nProbe: a fully-replayed batch must publish NOTHING (true no-op)")
+      assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+        s"nProbe=$nProbe: a replayed batch changed decisions")
+    }
+  }
+
+  test("time travel: decisionsAsOf(pin) is stable across later ingests AND a retrain") {
+    val train = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_tt")
+    SemanticIndex.init(spark, root, train, Tau)
+    SemanticIndex.ingest(train, root).count()
+    val pin = SemanticIndex.currentVersion(root)
+    val atPin = decisionSet(SemanticIndex.decisions(spark, root))
+
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 4 === 0), root).count()
+    assert(decisionSet(SemanticIndex.decisionsAsOf(spark, root, pin)) == atPin,
+      "the pinned view drifted under a later ingest")
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) != atPin,
+      "test premise: the later ingest must change the latest view")
+
+    // a retrain replaces EVERY file and the meta — the pin still reads
+    // the pre-retrain index (nothing is deleted until vacuum)
+    SemanticIndex.retrain(spark, root)
+    assert(decisionSet(SemanticIndex.decisionsAsOf(spark, root, pin)) == atPin,
+      "the pinned view drifted under a retrain")
+
+    // vacuum is THE operation that kills pins: pre-checkpoint versions
+    // are gone afterwards, the latest view is unchanged
+    val latest = decisionSet(SemanticIndex.decisions(spark, root))
+    SemanticIndex.vacuum(spark, root)
+    intercept[Exception](SemanticIndex.decisionsAsOf(spark, root, pin).count())
+    assert(decisionSet(SemanticIndex.decisions(spark, root)) == latest,
+      "vacuum must not change the latest view")
+  }
+
+  test("reads are lease-free: decisions() answers while a writer holds the dir lease") {
+    val root = tmpDir("sem_idx_leasefree")
     SemanticIndex.init(spark, root, corpus.limit(60), Tau)
     SemanticIndex.ingest(corpus.limit(60), root).count()
     val expected = decisionSet(SemanticIndex.decisions(spark, root))
-
-    @volatile var read: Option[Set[(Long, Int, Boolean)]] = None
-    @volatile var err: Option[Throwable] = None
-    var t: Thread = null
     graft.storage.SeriesLease.withDirLeaseHandle(root) { _ =>
-      // simulate a LIVE retrain's exact mid-swap state: lease held, old
-      // root parked at <root>.trash, staging about to be renamed in
-      assert(new java.io.File(root).renameTo(new java.io.File(s"$root.trash")))
-      t = new Thread(() => {
-        try read = Some(decisionSet(SemanticIndex.decisions(spark, root)))
-        catch { case e: Throwable => err = Some(e) }
-      }, "crash-window-reader")
-      t.start()
-      Thread.sleep(2000)
-      // while the lease is held the reader must BLOCK on it — a
-      // lease-free restore here would re-occupy the root under the
-      // retrain's feet and break its staging rename
-      assert(new java.io.File(s"$root.trash").isDirectory &&
-        !new java.io.File(root).exists(),
-        "a lease-free reader hijacked the swap window (restored the root mid-retrain)")
-      assert(t.isAlive, "the reader should be blocked on the dir lease")
+      // a maintenance writer is mid-critical-section; reads must neither
+      // block on the lease nor see partial state (commits are atomic, so
+      // there IS no partial state to see)
+      assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
+        "a read under a held lease must serve the last published version")
     }
-    // lease released (this 'retrain' crashed right here): the reader now
-    // acquires it, re-checks, restores the parked root, and answers
-    t.join(120000)
-    assert(err.isEmpty, s"the reader failed: $err")
-    assert(read.contains(expected),
-      "the post-release reader must restore the parked root and read it")
-    assert(new java.io.File(s"$root/meta.json").exists() &&
-      !new java.io.File(s"$root.trash").exists(),
-      "the reader's recovery must leave the root restored")
   }
 
   test("init is create-exclusive: params are immutable per index") {
@@ -552,7 +489,7 @@ class SemanticIndexSpec extends SparkSpec {
     * standard-basis vector with a nonzero residual.
     */
   private def orthogonalToCentroids(root: String): Array[Double] = {
-    val cents = spark.read.parquet(s"$root/centroids").collect()
+    val cents = SemanticIndex.centroids(spark, root).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("centroid").map(_.toDouble).toArray)
     val dim = cents.head.length
     val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
@@ -636,10 +573,11 @@ class SemanticIndexSpec extends SparkSpec {
       decisionSet(SemanticIndex.decisions(spark, fresh)),
       "retrained decisions diverged from a fresh rebuild on the same rows")
 
-    // staging/trash reaped; the live root is the only copy
+    // no staging siblings exist on the manifest path: the rebuild's
+    // payloads live under files/ and the swap is a metadata publish
     assert(!new java.io.File(s"$root.retraining").exists() &&
       !new java.io.File(s"$root.trash").exists(),
-      "retrain must reap its staging and trash dirs")
+      "the manifest protocol must not create rename-protocol siblings")
   }
 
   test("retrain inherits iters and targetClusterSize from the old meta by default") {
@@ -648,8 +586,7 @@ class SemanticIndexSpec extends SparkSpec {
       targetClusterSize = 256L, iters = 0)
     SemanticIndex.ingest(corpus.limit(60), root).count()
     SemanticIndex.retrain(spark, root)
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/meta.json")), "UTF-8")
+    val meta = SemanticIndex.metaJson(spark, root)
     assert(meta.contains("\"iters\":0"),
       s"a default retrain must not reset Lloyd iterations: $meta")
     assert(meta.contains("\"target_cluster_size\":256"),

@@ -50,13 +50,13 @@ class StreamIndexIngestSpec extends SparkSpec {
       .awaitTermination(300000), "the stream must drain within the timeout")
     assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
       "streamed micro-batch ingest diverged from the monolithic batch ingest")
-    val rows = spark.read.parquet(s"$root/index").count()
+    val rows = SemanticIndex.indexRows(spark, root).count()
 
     // lose the checkpoint entirely: a fresh one re-delivers every file —
     // the strongest at-least-once abuse a restart can produce
     assert(StreamOps.semanticIndexStream(stream(), root, tmpDir("stream_sem_ck2"))
       .awaitTermination(300000), "the replay stream must drain within the timeout")
-    assert(spark.read.parquet(s"$root/index").count() == rows,
+    assert(SemanticIndex.indexRows(spark, root).count() == rows,
       "the full replay must not add index rows")
     assert(decisionSet(SemanticIndex.decisions(spark, root)) == expected,
       "the full replay changed decisions")
