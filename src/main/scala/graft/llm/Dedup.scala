@@ -118,112 +118,111 @@ object Dedup {
     org.apache.spark.sql.types.StructField("hs",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  import graft.storage.{IndexFile, IndexManifest}
 
-  /** Create an empty persisted index: writes meta.json (create-exclusive
-    * — two initializers race to exactly one winner on any FS with atomic
-    * create, mirroring catalog.PublishPrimitive's contract). Fails if the
-    * index already exists: band parameters are immutable for the life of
-    * an index (rows banded under different params must never join).
-    */
-  def initLshIndex(spark: org.apache.spark.sql.SparkSession, root: String,
-                   shingleLen: Int = 3, numPerms: Int = 16, bands: Int = 8): Unit = {
-    requireBandParams(numPerms, bands)
-    val (fs, rootPath) = hadoopFs(spark, root)
-    fs.mkdirs(rootPath)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/meta.json"), false)
-    try out.write(
-      s"""{"shingle_len":$shingleLen,"num_perms":$numPerms,"bands":$bands}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
-                          root: String): (Int, Int, Int) = {
-    val (fs, _) = hadoopFs(spark, root)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/meta.json"))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  private def lshMetaOf(text: String): (Int, Int, Int) = {
     def field(k: String): Int =
-      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
-        .getOrElse(throw new IllegalStateException(s"$root/meta.json missing $k"))
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(s"lsh index meta missing $k"))
         .group(1).toInt
     (field("shingle_len"), field("num_perms"), field("bands"))
   }
 
-  /** Snapshot read of an index subdir: enumerate the parquet files NOW
-    * and build the plan over exactly those paths, so a same-call append
-    * (which only ADDS files) can never leak into this read — the dedup
-    * join stays new-vs-existing even though the returned DataFrame is
-    * evaluated later.
+  /** Create an empty persisted index: publishes the band-parameter meta
+    * document as manifest version 1 — a CAS, so two racing initializers
+    * (or an init on an existing index) lose loudly on any FS with an
+    * exactly-one-winner publish. Band parameters are immutable for the
+    * life of an index (rows banded under different params must never
+    * join).
     */
-  /** Restore a crash-parked sub-index dir left in [[compactLshIndex]]'s
-    * park-and-swap window, then reap the staging dirs: a live dir
-    * missing with `<dir>.trash` present means the parked copy is the
-    * tree's ONLY one (the crash hit between the park rename and the
-    * swap-in) — rename it back before anything appends or reaps. MUST
-    * run under the index's dir lease (the restore is a write); every
-    * committing operation — [[minhashLshIncremental]] appends,
-    * [[compactLshIndex]] — calls it inside its critical section.
-    */
-  private def restoreParkedDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
-    val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
-    if (!fs.exists(live) && fs.exists(trash) && !fs.rename(trash, live))
-      throw new java.io.IOException(
-        s"lsh index: cannot restore crash-parked $trash to $dir")
-    fs.delete(tmp, true); fs.delete(trash, true) // post-swap leftovers
+  def initLshIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                   shingleLen: Int = 3, numPerms: Int = 16, bands: Int = 8): Unit = {
+    requireBandParams(numPerms, bands)
+    if (IndexManifest.exists(root))
+      throw new IllegalStateException(
+        s"lsh index already exists at $root - band params are immutable")
+    IndexManifest.commit(root, adds = Seq.empty,
+      metaJson = Some(
+        s"""{"shingle_len":$shingleLen,"num_perms":$numPerms,"bands":$bands}"""),
+      expectedSeq = 0L)
+    ()
   }
 
-  private def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val (fs, p) = hadoopFs(spark, dir)
-    // crash-window fallback, READ-ONLY: [[compactLshIndex]] parks the
-    // whole sub-dir at `<dir>.trash` between its two renames — if the
-    // live dir is missing, the parked copy (content-identical to what
-    // the swap installs) is the only one, and a lease-free reader must
-    // see it rather than silently treating the index as empty
-    val base =
-      if (fs.exists(p)) p
-      else {
-        val t = new org.apache.hadoop.fs.Path(s"$dir.trash")
-        if (fs.exists(t)) t else p
-      }
-    val files =
-      if (!fs.exists(base)) Array.empty[String]
-      else fs.listStatus(base).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
+  /** Plan over exactly the pinned state's live files of `sub` — no
+    * directory listing, no partition inference, and (because commits
+    * are atomic manifest publishes) no crash window in which a reader
+    * can see half an append.
+    */
+  private def readLshSub(spark: org.apache.spark.sql.SparkSession, root: String,
+                         st: graft.storage.IndexState, sub: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = st.files.iterator.filter(_.sub == sub).map(f => s"$root/${f.path}").toSeq
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.toSeq: _*)
+    else spark.read.schema(schema).option("recursiveFileLookup", "true")
+      .parquet(files: _*)
   }
+
+  /** Write a commit payload into a fresh per-writer uuid dir and return
+    * its manifest entries; nothing is visible until they are committed.
+    */
+  private def writeLshFlat(df: DataFrame, root: String, sub: String): Seq[IndexFile] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val rel = s"files/$uuid"
+    df.write.parquet(s"$root/$rel")
+    val local = if (root.startsWith("file:")) root.stripPrefix("file:") else root
+    Option(new java.io.File(s"$local/$rel").listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => IndexFile(sub, -1, s"$rel/${f.getName}", f.length()))
+  }
+
+  /** Snapshot read of the live band rows (band, key, doc_id). */
+  def lshIndexBands(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    readLshSub(spark, root, IndexManifest.state(root), "bands", bandSchema)
+
+  /** Snapshot read of the live hash-set rows (doc_id, hs). */
+  def lshIndexHashes(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    readLshSub(spark, root, IndexManifest.state(root), "hashes", hashSchema)
+
+  /** Physically reclaim space (checkpoint + drop old versions + delete
+    * unreferenced payloads — crashed writers' orphans and compacted-away
+    * files). THE one operation that invalidates pinned reads; schedule
+    * it like compaction. Returns (data files deleted, log versions
+    * deleted).
+    */
+  def vacuumLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     root: String): (Long, Long) =
+    graft.storage.SeriesLease.withDirLease(root)(IndexManifest.vacuum(root))
 
   /** Incremental near-dup: dedup a NEW batch against the persisted index
     * WITHOUT recomputing the corpus — the ingest-pipeline shape (the
     * dedup analog of the T1 watermark resume). Returns verified pairs
     * (doc_a, doc_b, jaccard), ids normalized ascending, covering
     * new-vs-index and new-vs-new; with `append=true` the batch's band
-    * rows and hash sets are appended to the index afterwards, so
-    * incremental(batch1)..incremental(batchN) over a partition of the
-    * corpus yields EXACTLY the full-rebuild pair set, each pair once
-    * (spec: IncrementalLshSpec).
+    * rows and hash sets are committed to the index afterwards IN ONE
+    * ATOMIC MANIFEST PUBLISH, so incremental(batch1)..incremental(batchN)
+    * over a partition of the corpus yields EXACTLY the full-rebuild pair
+    * set, each pair once (spec: IncrementalLshSpec).
     *
     * Delivery contract: COMMITTING ingest is IDEMPOTENT on doc id — an
     * id already committed is absorbed (first write wins; revised text
-    * under a reused id is NOT picked up), so at-least-once delivery (a
-    * streaming foreachBatch replay, a retry after a mid-commit crash)
-    * commits each doc exactly once. Dry-runs (`append=false`) stay a
-    * pure candidate QUERY: they process the batch whether or not its
-    * ids are in the index. Committing appends serialize through the
-    * index root's dir lease (see above); an id must still mean the same
-    * document everywhere.
+    * under a reused id is NOT picked up), and a fully-replayed batch
+    * publishes nothing at all, so at-least-once delivery (a streaming
+    * foreachBatch replay, a retry after a crash) commits each doc
+    * exactly once. Because bands and hashes land in one commit, there is
+    * no partial-commit window: a crash before the publish leaves orphan
+    * payload files (invisible; [[vacuumLshIndex]] reaps them) and the
+    * retry re-derives the batch — the r16 "duplicate band rows live
+    * forever after a bands-landed/hashes-lost retry" storage leak is
+    * structurally gone. Dry-runs (`append=false`) stay a pure candidate
+    * QUERY: they process the batch whether or not its ids are in the
+    * index. Committing appends serialize through the index root's dir
+    * lease AND the manifest CAS; an id must still mean the same document
+    * everywhere.
     *
     * Scale shape: per batch the work is O(|batch| band rows) shuffled
     * against the index's (band,key) table — the index side is an
-    * equi-join probe, never rewritten (appends only add files). Both
+    * equi-join probe, never rewritten (commits only add files). Both
     * join sides pin their exchange (explicit numPartitions on the full
     * band key) for the measured byte-based-planner pathology: a
     * byte-tiny new batch would otherwise broadcast and serialize the
@@ -233,48 +232,33 @@ object Dedup {
                             append: Boolean = true,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
-    val (shingleLen, numPerms, bands) = readLshMeta(spark, root)
     // committing ingests serialize through the index's dir lease (two
     // unserialized appends would each MISS the other batch's cross
     // pairs — a silent under-merge, not a crash); dry-runs are pure
-    // reads of a file snapshot and take no lease
+    // reads of a pinned manifest state and take no lease
     if (append)
       graft.storage.SeriesLease.withDirLeaseHandle(root) { h =>
-        // physically restore any crash-parked sub-index BEFORE the
-        // append (a [[compactLshIndex]] mid-swap crash leaves bands/ or
-        // hashes/ only under `.trash`): appending into a fresh dir
-        // would shadow the parked rows — every cross pair against them
-        // silently missed, permanently — and the next compact's reap
-        // would delete them for good
-        val (fs, _) = hadoopFs(spark, root)
-        restoreParkedDir(fs, s"$root/bands")
-        restoreParkedDir(fs, s"$root/hashes")
-        minhashLshIncrementalBody(newDocs, root, append, idCol, textCol,
-          shingleLen, numPerms, bands, Some(h))
+        minhashLshIncrementalBody(newDocs, root, append, idCol, textCol, Some(h))
       }
     else
-      minhashLshIncrementalBody(newDocs, root, append, idCol, textCol,
-        shingleLen, numPerms, bands, None)
+      minhashLshIncrementalBody(newDocs, root, append, idCol, textCol, None)
   }
 
   private def minhashLshIncrementalBody(newDocs: DataFrame, root: String,
                                         append: Boolean, idCol: String, textCol: String,
-                                        shingleLen: Int, numPerms: Int, bands: Int,
                                         lease: Option[graft.storage.SeriesLease.Handle]): DataFrame = {
     val spark = newDocs.sparkSession
-    val idxBands = snapshotRead(spark, s"$root/bands", bandSchema)
-    val idxHashes = snapshotRead(spark, s"$root/hashes", hashSchema)
+    // state read INSIDE the critical section for committing calls; the
+    // commit CAS at st.seq makes any serialization failure loud
+    val st = IndexManifest.state(root)
+    val (shingleLen, numPerms, bands) = lshMetaOf(st.metaJson)
+    val idxBands = readLshSub(spark, root, st, "bands", bandSchema)
+    val idxHashes = readLshSub(spark, root, st, "hashes", hashSchema)
     // COMMITTING idempotence: doc ids already committed are ABSORBED
-    // (first write wins), keyed on the HASHES table — the LAST artifact
-    // the append writes — so at-least-once delivery commits each doc
-    // exactly once: a replay of a committed batch processes nothing,
-    // and a retry of a crash between the bands append and the hashes
-    // append re-derives the doc (its possible duplicate band rows are
-    // absorbed by the candidates' dropDuplicates below — only bytes,
-    // never results). Dry-runs are a pure CANDIDATE QUERY — they
-    // process the batch regardless, so probing docs that already live
-    // in the index keeps returning their candidates.
+    // (first write wins), keyed on the hashes table. Dry-runs are a
+    // pure CANDIDATE QUERY — they process the batch regardless, so
+    // probing docs that already live in the index keeps returning their
+    // candidates.
     val freshDocs =
       if (!append) newDocs
       else newDocs.join(
@@ -307,93 +291,76 @@ object Dedup {
     val uni = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
     val result = candA.select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
 
-    if (append) {
+    // a fully-replayed (or shingle-empty) batch commits nothing: replay
+    // is a true no-op, not a version bump — newHashes is checkpointed,
+    // so the emptiness probe is O(1) (a flat write of an empty frame
+    // would otherwise stage a schema-only file and publish it)
+    if (append && !newHashes.isEmpty) {
+      val adds = writeLshFlat(newBands, root, "bands") ++
+        writeLshFlat(newHashes, root, "hashes")
       lease.foreach(_.assertOwned()) // loud failure on a stolen lease
-      newBands.write.mode("append").parquet(s"$root/bands")
-      newHashes.write.mode("append").parquet(s"$root/hashes")
+      IndexManifest.commit(root, adds = adds, expectedSeq = st.seq)
     }
     result
   }
 
-  /** Compact the persisted LSH index: each incremental batch appends one
-    * file set to bands/ and hashes/, so after many batches the probe side
+  /** Compact the persisted LSH index: each incremental batch commits one
+    * file set to bands and hashes, so after many batches the probe side
     * of every future dedup is a small-files scan — the same disease
     * `LakeMaintenance.compactSeries` and q70 cure for the lake. Rewrites
-    * each subdir clustered on the probe key ((band, key) for bands/,
-    * doc_id for hashes/) and sorted within partitions so row groups
-    * RLE-compress and min/max prune. `targetFiles` is a FLOOR, not a
-    * cap: the rewrite partition count scales with the subdir's bytes
-    * (~256 MB of compressed input per task) so compacting a corpus-scale
-    * index never funnels gigabytes through one sort task — at small
-    * scale the output is exactly `targetFiles` files; at 100 TB it is
-    * size-proportional large files, which bounds the small-files count
-    * just as well (the point of compaction) while every rewrite task
-    * sorts a bounded slice.
+    * each sub clustered on the probe key ((band, key) for bands, doc_id
+    * for hashes) and sorted within partitions so row groups RLE-compress
+    * and min/max prune. `targetFiles` is a FLOOR, not a cap: the rewrite
+    * partition count scales with the sub's bytes (~256 MB of compressed
+    * input per task, sizes read from the MANIFEST, not a listing) so
+    * compacting a corpus-scale index never funnels gigabytes through one
+    * sort task — at small scale the output is exactly `targetFiles`
+    * files; at 100 TB it is size-proportional large files, which bounds
+    * the small-files count just as well (the point of compaction) while
+    * every rewrite task sorts a bounded slice.
     *
-    * Same single-writer contract as the append path (see
-    * [[minhashLshIncremental]]): run it between batches, not during one.
-    * Swap protocol: write to `<dir>.compacting`, then two renames with
-    * the old data parked at `<dir>.trash` until the new dir is live —
-    * the index is never the only copy mid-swap; the crash window is the
-    * instant between the renames (the ClaimRenamePublish trade-off,
-    * documented at `ManifestCatalog.scala` — recovery = rename trash
-    * back). Leftover `.compacting`/`.trash` dirs from a crash are
-    * cleared on the next call. Returns (filesBefore, filesAfter) summed
-    * over both subdirs; a no-op (already ≤ target) returns equal counts.
+    * Same single-writer contract as the append path (lease + manifest
+    * CAS): run it between batches, not during one. Both subs' rewrites
+    * land in ONE atomic publish that removes the replaced files; nothing
+    * is renamed, nothing parked, and readers holding the prior seq keep
+    * reading the old files until [[vacuumLshIndex]]. Returns
+    * (filesBefore, filesAfter) live counts summed over both subs; a
+    * no-op (already ≤ target) returns equal counts and publishes
+    * nothing.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, root: String,
                       targetFiles: Int = 4): (Long, Long) = {
-    readLshMeta(spark, root) // fail fast on a non-index dir
-    val (fs, _) = hadoopFs(spark, root)
-    // maintenance serializes with committing ingests through the same
-    // dir lease as [[minhashLshIncremental]]
     graft.storage.SeriesLease.withDirLeaseHandle(root) { leaseH =>
+      val st = IndexManifest.state(root) // fail fast on a non-index dir
 
-    def parquetFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) Array.empty
-      else fs.listStatus(p)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }
-
-    def compactDir(sub: String, schema: org.apache.spark.sql.types.StructType,
-                   clusterCols: Seq[String]): (Long, Long) = {
-      val dir = s"$root/$sub"
-      val live = new org.apache.hadoop.fs.Path(dir)
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
-      val trash = new org.apache.hadoop.fs.Path(s"$dir.trash")
-      // crash recovery BEFORE reaping (the SemanticIndex.compact rule):
-      // restore a crash-parked sub-index, then reap — see
-      // [[restoreParkedDir]]
-      restoreParkedDir(fs, dir)
-      val files = parquetFiles(dir)
-      val before = files.length.toLong
-      if (before <= targetFiles) return (before, before)
-      // ~256 MB of compressed input per rewrite task: bounded sort
-      // memory at any index size (see the scaling note in the doc)
-      val parts = math.max(targetFiles,
-        (files.map(_.getLen).sum / (256L << 20)).toInt + 1)
-      if (parts >= before) return (before, before) // already size-proportional
-      snapshotRead(spark, dir, schema)
-        .repartition(parts, clusterCols.map(col): _*)
-        .sortWithinPartitions(clusterCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.toString)
-      leaseH.assertOwned() // commit point: about to take the dir offline
-      if (!fs.rename(live, trash))
-        throw new java.io.IOException(s"compactLshIndex: cannot park $dir")
-      if (!fs.rename(tmp, live)) { // restore — the index must stay readable
-        fs.rename(trash, live)
-        throw new java.io.IOException(s"compactLshIndex: swap failed for $dir")
+      def compactSub(sub: String, schema: org.apache.spark.sql.types.StructType,
+                     clusterCols: Seq[String]): (Long, Seq[IndexFile], Seq[IndexFile]) = {
+        val files = st.files.filter(_.sub == sub)
+        val before = files.length.toLong
+        if (before <= targetFiles) return (before, Seq.empty, Seq.empty)
+        // ~256 MB of compressed input per rewrite task: bounded sort
+        // memory at any index size (see the scaling note in the doc)
+        val parts = math.max(targetFiles,
+          (files.map(_.bytes).sum / (256L << 20)).toInt + 1)
+        if (parts >= before) return (before, Seq.empty, Seq.empty) // already size-proportional
+        val rewritten = readLshSub(spark, root, st, sub, schema)
+          .repartition(parts, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+        (before, writeLshFlat(rewritten, root, sub), files)
       }
-      fs.delete(trash, true)
-      (before, parquetFiles(dir).length.toLong)
-    }
 
-    val (b0, b1) = compactDir("bands", bandSchema, Seq("band", "key"))
-    val (h0, h1) = compactDir("hashes", hashSchema, Seq("doc_id"))
-    (b0 + h0, b1 + h1)
+      val (b0, bAdds, bRemoves) = compactSub("bands", bandSchema, Seq("band", "key"))
+      val (h0, hAdds, hRemoves) = compactSub("hashes", hashSchema, Seq("doc_id"))
+      val adds = bAdds ++ hAdds
+      val removes = bRemoves ++ hRemoves
+      if (adds.nonEmpty || removes.nonEmpty) {
+        leaseH.assertOwned() // commit point
+        IndexManifest.commit(root, adds = adds, removes = removes, expectedSeq = st.seq)
+      }
+      (b0 + h0, b0 + h0 - removes.length + adds.length)
     }
   }
+
 
   /** SimHash fingerprints: 32-bit per doc over whitespace tokens. Pairs
     * within a Hamming radius are found by joining on byte-bands (any of

@@ -246,7 +246,7 @@ object LlmOps {
     * survives compaction mid-append-sequence AND that the probe reads a
     * compacted layout, the same invariance q70 gates for the lake. The
     * first compaction must actually rewrite (each append lands multiple
-    * files; `require`d), making a silently-no-op park-and-swap a red
+    * files; `require`d), making a silently-no-op manifest rewrite a red
     * CORRECTNESS row, not a skipped branch. Every later call — including
     * every timed bench pass — runs only the production ingest path: band
     * rows for the NEW batch, equi-join against the persisted index,

@@ -39,7 +39,7 @@ class IncrementalLshSpec extends SparkSpec {
     val root = tmpDir("lsh_idx_ro")
     Dedup.initLshIndex(spark, root)
     Dedup.minhashLshIncremental(docs.filter(col("doc_id") < 30), root).count()
-    def bandCount() = spark.read.parquet(s"$root/bands").count()
+    def bandCount() = Dedup.lshIndexBands(spark, root).count()
     val before = bandCount()
     val r1 = pairSet(Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 30), root, append = false))
     val r2 = pairSet(Dedup.minhashLshIncremental(docs.filter(col("doc_id") >= 30), root, append = false))
@@ -61,26 +61,32 @@ class IncrementalLshSpec extends SparkSpec {
     (0 until 50).foreach { b =>
       Dedup.minhashLshIncremental(docs.filter(col("doc_id") % 50 === b), root).count()
     }
-    def files(sub: String): Long = {
-      val d = new java.io.File(s"$root/$sub")
-      d.listFiles().count(_.getName.endsWith(".parquet")).toLong
-    }
+    def files(sub: String): Long =
+      graft.storage.IndexManifest.state(root).files.count(_.sub == sub).toLong
     assert(files("bands") >= 50, "test premise: appends fragment the index")
     // the probe a NEXT batch would run, before vs after compaction
     val probe = docs.filter(col("doc_id") % 7 === 0)
     val before = pairSet(Dedup.minhashLshIncremental(probe, root, append = false))
     assert(before.nonEmpty, "test premise: the probe batch must hit the index")
     val (nBefore, nAfter) = Dedup.compactLshIndex(spark, root, targetFiles = 4)
-    assert(nBefore >= 100 && nAfter <= 8, s"expected ≤4 files/subdir, got $nBefore -> $nAfter")
+    assert(nBefore >= 100 && nAfter <= 8, s"expected ≤4 live files/sub, got $nBefore -> $nAfter")
     assert(files("bands") <= 4 && files("hashes") <= 4)
     val after = pairSet(Dedup.minhashLshIncremental(probe, root, append = false))
     assert(after == before, "compaction must not change any future dedup result")
-    // no stale swap dirs left behind
+    // the manifest protocol never creates rename-protocol siblings
     assert(!new java.io.File(s"$root/bands.trash").exists())
     assert(!new java.io.File(s"$root/bands.compacting").exists())
-    // a second compaction is a no-op
+    // a second compaction is a no-op and publishes no version
+    val seq = graft.storage.IndexManifest.currentSeq(root)
     val (n2b, n2a) = Dedup.compactLshIndex(spark, root, targetFiles = 4)
     assert(n2b == n2a)
+    assert(graft.storage.IndexManifest.currentSeq(root) == seq,
+      "a no-op compaction must not publish a version")
+    // the replaced files are orphans until vacuum; reclaim and re-probe
+    val (reaped, _) = Dedup.vacuumLshIndex(spark, root)
+    assert(reaped >= 50, s"vacuum must reap the compacted-away files, got $reaped")
+    assert(pairSet(Dedup.minhashLshIncremental(probe, root, append = false)) == before,
+      "vacuum must keep every live file")
     docs.unpersist()
   }
 
@@ -100,70 +106,60 @@ class IncrementalLshSpec extends SparkSpec {
     val root = tmpDir("lsh_idx_al")
     Dedup.initLshIndex(spark, root)
     Dedup.minhashLshIncremental(b1, root).count()
-    def files(sub: String): Set[java.io.File] =
-      Option(new java.io.File(s"$root/$sub").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).toSet
-    val hBefore = files("hashes")
     assert(pairSet(Dedup.minhashLshIncremental(b2, root)) == p2)
 
-    // the replay of a fully committed batch: absorbed — no pairs, no rows
-    val hAfter = files("hashes")
-    val hashRows = spark.read.parquet(s"$root/hashes").count()
+    // the replay of a fully committed batch: absorbed — no pairs, no
+    // rows, and (the manifest upgrade) NO published version at all
+    val hashRows = Dedup.lshIndexHashes(spark, root).count()
+    val seq = graft.storage.IndexManifest.currentSeq(root)
     assert(pairSet(Dedup.minhashLshIncremental(b2, root)).isEmpty,
       "a replayed committed batch must be absorbed")
-    assert(spark.read.parquet(s"$root/hashes").count() == hashRows,
+    assert(Dedup.lshIndexHashes(spark, root).count() == hashRows,
       "a replay must not append hash rows")
-
-    // mid-commit crash: bands landed, hashes did not (the write order) —
-    // the idempotence anti-join keys on hashes, so the retry re-derives
-    // the batch; its duplicate band rows are absorbed by the candidate
-    // dedup, never reaching results
-    val added = hAfter -- hBefore
-    assert(added.nonEmpty, "test premise: the batch must have appended hash files")
-    added.foreach(f => assert(f.delete(), s"cannot delete $f"))
-    assert(pairSet(Dedup.minhashLshIncremental(b2, root)) == p2,
-      "the mid-commit retry must re-derive the batch's pairs exactly")
-    assert(pairSet(Dedup.minhashLshIncremental(probe, root, append = false)) == probeRef,
-      "the healed index must serve future probes identically to the no-crash reference")
+    assert(graft.storage.IndexManifest.currentSeq(root) == seq,
+      "a fully-replayed batch must publish NOTHING (true no-op)")
     docs.unpersist()
   }
 
-  test("mid-swap compaction crash: dry-runs read the parked copy; a committing append restores it") {
+  test("crash before publish: nothing visible, the retry re-derives the batch; no band-row leak") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").cache()
     val b1 = docs.filter(col("doc_id") % 2 === 0)
     val b2 = docs.filter(col("doc_id") % 2 === 1)
-    // reference: the same two batches, no crash
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    // reference: the same sequence, no crash
     val ref = tmpDir("lsh_idx_ref")
     Dedup.initLshIndex(spark, ref)
     val p1 = pairSet(Dedup.minhashLshIncremental(b1, ref))
     val p2ref = pairSet(Dedup.minhashLshIncremental(b2, ref))
     assert(p2ref.nonEmpty, "test premise: batch 2 must find cross pairs against batch 1")
+    val probeRef = pairSet(Dedup.minhashLshIncremental(probe, ref, append = false))
 
     val root = tmpDir("lsh_idx_crash")
     Dedup.initLshIndex(spark, root)
     assert(pairSet(Dedup.minhashLshIncremental(b1, root)) == p1)
-    // simulate compactLshIndex's exact crash window: bands parked at
-    // bands.trash, the staged copy never swapped in — trash holds the
-    // sub-index's ONLY copy
-    val bands = new java.io.File(s"$root/bands")
-    new java.io.File(s"$root/bands.compacting").mkdirs()
-    assert(bands.renameTo(new java.io.File(s"$root/bands.trash")))
-
-    // lease-free dry-run: the read fallback must see the parked bands —
-    // the pre-fix behavior read an empty index, silently missing every
-    // candidate against batch 1
-    val dry = pairSet(Dedup.minhashLshIncremental(b2, root, append = false))
-    assert(dry == p2ref, "a dry-run in the crash window missed the parked index")
-    assert(new java.io.File(s"$root/bands.trash").isDirectory,
-      "a dry-run must stay read-only")
-
-    // committing append: must physically restore BEFORE appending, so
-    // its cross pairs are complete and the healed tree holds both batches
+    val bandRows = Dedup.lshIndexBands(spark, root).count()
+    Dedup.minhashLshIncremental(b2, root).count()
+    // the ONLY crash window the manifest protocol has: payloads written,
+    // the publish (the commit's final step) never landed — reconstructed
+    // exactly by deleting the last version file
+    val seq = graft.storage.IndexManifest.currentSeq(root)
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      root, "_versions", f"$seq%020d.json")))
+    // the crashed batch is invisible in its ENTIRETY: bands and hashes
+    // land in one commit, so the r16 "bands landed, hashes lost, retry
+    // duplicates band rows forever" leak cannot exist
+    assert(Dedup.lshIndexBands(spark, root).count() == bandRows,
+      "a crashed commit leaked band rows into reads")
     assert(pairSet(Dedup.minhashLshIncremental(b2, root)) == p2ref,
-      "a committing append in the crash window lost the parked cross pairs")
-    assert(bands.isDirectory && !new java.io.File(s"$root/bands.trash").exists() &&
-      !new java.io.File(s"$root/bands.compacting").exists(),
-      "the committing append must restore and reap the crash leftovers")
+      "the post-crash retry must re-derive the batch's pairs exactly")
+    assert(Dedup.lshIndexBands(spark, root).count() ==
+      Dedup.lshIndexBands(spark, ref).count(),
+      "the retry must land the batch's band rows exactly once — no duplicates")
+    assert(pairSet(Dedup.minhashLshIncremental(probe, root, append = false)) == probeRef,
+      "the healed index must serve future probes identically to the no-crash reference")
+    // the crashed attempt's payloads are orphans; vacuum reclaims them
+    assert(Dedup.vacuumLshIndex(spark, root)._1 >= 1,
+      "vacuum must reap the crashed attempt's payload files")
     docs.unpersist()
   }
 }

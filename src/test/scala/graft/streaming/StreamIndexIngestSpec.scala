@@ -92,11 +92,11 @@ class StreamIndexIngestSpec extends SparkSpec {
       .awaitTermination(300000), "the stream must drain within the timeout")
     assert(probeSet(root) == probeRef,
       "the streamed index serves different candidates than the batch-built one")
-    val hashRows = spark.read.parquet(s"$root/hashes").count()
+    val hashRows = Dedup.lshIndexHashes(spark, root).count()
 
     assert(StreamOps.lshIndexStream(stream(), root, tmpDir("stream_lsh_ck2"))
       .awaitTermination(300000), "the replay stream must drain within the timeout")
-    assert(spark.read.parquet(s"$root/hashes").count() == hashRows,
+    assert(Dedup.lshIndexHashes(spark, root).count() == hashRows,
       "the full replay must not append hash rows")
     assert(probeSet(root) == probeRef, "the full replay changed the persisted state")
   }
