@@ -80,6 +80,11 @@ object ClusterCheck {
     // arrays crossing process boundaries, and the read-time quotient
     // solve (bridgeLocalRoots) over persisted phase-1 labels
     "q98_semantic_incremental_multiprobe",
+    // q101: the manifest-committed read path pinned to a PRIOR version
+    // — executors must open exactly the pinned seq's file list (folded
+    // on the driver from the _versions log) while later commits, a
+    // compaction rewrite, and a retrain exist on disk in the same tree
+    "q101_semantic_time_travel",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on

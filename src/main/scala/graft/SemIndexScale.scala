@@ -52,7 +52,9 @@ object SemIndexScale {
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val n = corpus.count()
-    val root = if (args.length > 2) args(2)
+    // an empty root arg must NOT silently resolve to the CWD (a relative
+    // "_versions" dir in whatever directory launched the JVM)
+    val root = if (args.length > 2 && args(2).nonEmpty) args(2)
       else java.nio.file.Files.createTempDirectory("graft_semidx_scale_").toString
     if (!llm.SemanticIndex.exists(spark, root)) {
       val train = corpus.filter(pmod(col("vec_id"), lit(batches)) === 0)

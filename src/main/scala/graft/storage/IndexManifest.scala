@@ -157,11 +157,18 @@ object IndexManifest {
         s"no index manifest at $root" + asOf.map(s => s" as of seq $s").getOrElse("") +
           " (not an index root, or the pin predates init / postdates nothing)")
     val dir = versionsDir(root)
-    // newest checkpoint ≤ pin: scan backward, stop at the first flagged
-    // version; the common case (recent checkpoint) reads O(deltas) files
-    val parsed = seqs.map(s => s -> parseLines(dir.resolve(f"$s%020d.json")))
-    val ckptIdx = parsed.lastIndexWhere(_._2._1)
-    val replay = if (ckptIdx < 0) parsed else parsed.drop(ckptIdx)
+    // newest checkpoint ≤ pin: parse BACKWARD and stop at the first
+    // flagged version, so a checkpointed index folds O(deltas since
+    // checkpoint) files — never O(commit history)
+    var replay = List.empty[(Long, (Boolean, Seq[Line]))]
+    var i = seqs.length - 1
+    var foundCkpt = false
+    while (i >= 0 && !foundCkpt) {
+      val parsed = parseLines(dir.resolve(f"${seqs(i)}%020d.json"))
+      replay ::= seqs(i) -> parsed
+      foundCkpt = parsed._1
+      i -= 1
+    }
     var meta = ""
     val live = scala.collection.mutable.LinkedHashMap.empty[(String, String), IndexFile]
     replay.foreach { case (_, (_, lines)) =>
