@@ -220,6 +220,12 @@ object IndexManifest {
     Files.createDirectories(dir)
     val staged = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(staged, render(adds, removes, metaJson, checkpoint))
+    // fsync BEFORE the link binds the name: a power loss after publish
+    // must never leave a named-but-empty version (the BloomJoin/
+    // ClaimRenamePublish discipline)
+    val ch = java.nio.channels.FileChannel.open(staged,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
     val seq = expected + 1
     val target = dir.resolve(f"$seq%020d.json")
     val won =
