@@ -176,13 +176,27 @@ object Dedup {
       .map(f => IndexFile(sub, -1, s"$rel/${f.getName}", f.length()))
   }
 
-  /** Snapshot read of the live band rows (band, key, doc_id). */
-  def lshIndexBands(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    readLshSub(spark, root, IndexManifest.state(root), "bands", bandSchema)
+  /** Snapshot read of the live band rows (band, key, doc_id); `asOf`
+    * pins a published manifest seq — index time travel, the same q71
+    * shape [[graft.llm.SemanticIndex.decisionsAsOf]] exposes on the
+    * semantic index (valid until [[vacuumLshIndex]] reaps history).
+    */
+  def lshIndexBands(spark: org.apache.spark.sql.SparkSession, root: String,
+                    asOf: Option[Long] = None): DataFrame =
+    readLshSub(spark, root, IndexManifest.state(root, asOf), "bands", bandSchema)
 
-  /** Snapshot read of the live hash-set rows (doc_id, hs). */
-  def lshIndexHashes(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    readLshSub(spark, root, IndexManifest.state(root), "hashes", hashSchema)
+  /** Snapshot read of the live hash-set rows (doc_id, hs); `asOf` as in
+    * [[lshIndexBands]].
+    */
+  def lshIndexHashes(spark: org.apache.spark.sql.SparkSession, root: String,
+                     asOf: Option[Long] = None): DataFrame =
+    readLshSub(spark, root, IndexManifest.state(root, asOf), "hashes", hashSchema)
+
+  /** Latest published manifest seq of an LSH index — the handle a
+    * caller pins BEFORE more ingest/compaction lands, to replay reads
+    * against via `asOf`.
+    */
+  def lshIndexSeq(root: String): Long = IndexManifest.currentSeq(root)
 
   /** Physically reclaim space (checkpoint + drop old versions + delete
     * unreferenced payloads — crashed writers' orphans and compacted-away

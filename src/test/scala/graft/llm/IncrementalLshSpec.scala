@@ -162,4 +162,30 @@ class IncrementalLshSpec extends SparkSpec {
       "vacuum must reap the crashed attempt's payload files")
     docs.unpersist()
   }
+
+  test("time travel: a pinned seq reads the same bands while ingest+compaction move past it") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").cache()
+    val root = tmpDir("lsh_idx_tt")
+    Dedup.initLshIndex(spark, root)
+    Dedup.minhashLshIncremental(docs.filter(col("doc_id") % 2 === 0), root).count()
+    val pin = Dedup.lshIndexSeq(root)
+    def pinned() = Dedup.lshIndexBands(spark, root, asOf = Some(pin))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val want = pinned()
+    assert(want.nonEmpty, "test premise: the pinned snapshot holds band rows")
+    // the live index moves on: more ingest, then a compaction that
+    // rewrites files — neither may disturb the pinned view (compaction
+    // only ADDS files and flips the manifest; old files stay on disk
+    // until vacuum)
+    Dedup.minhashLshIncremental(docs.filter(col("doc_id") % 2 === 1), root).count()
+    Dedup.compactLshIndex(spark, root, targetFiles = 1)
+    assert(Dedup.lshIndexSeq(root) > pin, "test premise: the live index must have moved")
+    assert(pinned() == want, "the pinned read changed under later commits")
+    assert(Dedup.lshIndexBands(spark, root).count() > want.size,
+      "test premise: the live view must see the second batch")
+    // vacuum is THE operation that kills history: the pin dies loudly
+    Dedup.vacuumLshIndex(spark, root)
+    intercept[Exception](pinned())
+    docs.unpersist()
+  }
 }
