@@ -849,4 +849,64 @@ object SemanticIndex {
         .select(col("vec_id"), col("cluster"),
           (col("root").isNull || col("root") === col("vec_id")).as("kept"))
   }
+
+  /** Top-k ANN SERVING against the persisted index — the search half of
+    * the build-once/serve-forever contract the incremental ingest keeps
+    * current ([[IvfSearch.topK]]'s plan shape, but the corpus side is
+    * this index's live manifest state instead of a caller-held
+    * DataFrame). Returns (q_id, n_id, sim, rnk), rnk 1..k per query.
+    *
+    * Scale shape: probe selection is the query batch × broadcast
+    * centroids (tiny); the index read is MANIFEST-PRUNED to the batch's
+    * probed clusters before any file opens — a small serving batch over
+    * a 2 B-vector index reads |probed| ≈ min(|queries|·nProbe, k)
+    * clusters' files, never the corpus. The probed-cluster collect is
+    * bounded by k ints (the centroid count, ~corpus/targetClusterSize —
+    * the same documented bound as every affected-cluster set here).
+    *
+    * On a MULTI-PROBE index (meta.nProbe > 1) each vector's row is
+    * replicated across its probe clusters, so scanning the query's
+    * probed cells also surfaces near-boundary vectors filed there at
+    * probe_rank ≥ 2 — multi-probe store + multi-probe query; duplicates
+    * collapse via dropDuplicates(q_id, n_id) (replicas are identical in
+    * sim, so the ranking is deterministic).
+    *
+    * `asOf` pins a published seq: search the index exactly as a reader
+    * at that version saw it (valid until [[vacuum]]).
+    */
+  def searchTopK(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+                 nProbe: Int = 2, asOf: Option[Long] = None,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    import org.apache.spark.sql.expressions.Window
+    val st = IndexManifest.state(root, asOf)
+    val meta = parseMeta(st.metaJson)
+    val cents = readCentroids(spark, root, st)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", dot(col("q_emb"), col("centroid")) /
+        (norm(col("q_emb")) * norm(col("centroid"))))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    // the ONLY driver-side materialization: the batch's probed-cluster
+    // set (≤ k ints), which prunes the manifest BEFORE any data file is
+    // listed or opened
+    val probed = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val rows = readSub(spark, root, st, "index", indexSchemaOf(meta), Some(probed))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    rows.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding")))).as("sim"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -772,8 +772,59 @@ object SemanticOps {
       .orderBy("ivf_cluster")
   }
 
+  /** q102: ANN SERVING from the persisted incremental index — the
+    * search half of the build-once/serve-forever contract q97's ingest
+    * keeps current. [[SemanticIndex.searchTopK]] probes the query
+    * batch's nProbe nearest frozen centroids and reads ONLY those
+    * clusters' files (the read is manifest-pruned before any file
+    * opens — a serving batch over a 2 B-vector index scans nProbe
+    * cells per query, never the corpus). The oracle replays the whole
+    * pipeline — frozen-centroid training on the %4≠0 slice, probe
+    * selection, candidate join confined to the probed cells, exact
+    * cosine rank — arithmetic-for-arithmetic (the q49 shape, but
+    * against the INCREMENTALLY-BUILT index: three appends + a
+    * compaction stand between init and this search, so any row they
+    * lost, duplicated, or mis-assigned is a red rank here). Queries
+    * vec_id<5 include %4==0 ids the index has never ingested: serving
+    * must not require the query to be indexed.
+    */
+  val annServeIndex: Q = Q(
+    "q102_ann_serve_index",
+    s"""WITH ${IvfSearch.duckIndexCtesTrainedK(KSqlTrain, Iters, "vec_id % 4 <> 0")},
+       |probes AS (
+       |  SELECT q_id, q_emb, cluster FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckDot("e.embedding", "c.centroid")} /
+       |          (${duckNorm("e.embedding")} * ${duckNorm("c.centroid")}) DESC,
+       |        c.cluster ASC) AS __rn
+       |    FROM embeddings e CROSS JOIN cent$Iters c
+       |    WHERE e.vec_id < 5)
+       |  WHERE __rn <= 3),
+       |cand AS (
+       |  SELECT p.q_id, p.q_emb, i.vec_id AS n_id, i.embedding AS n_emb
+       |  FROM probes p JOIN idx i USING (cluster)
+       |  WHERE i.vec_id <> p.q_id AND i.vec_id % 4 <> 0)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |      ${duckDot("q_emb", "n_emb")} /
+       |        (${duckNorm("q_emb")} * ${duckNorm("n_emb")}) DESC, n_id) AS BIGINT) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val root = persistedSemRoot(s, d)
+    val out = SemanticIndex.searchTopK(s, root,
+      Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 3, nProbe = 3)
+      .select("q_id", "n_id", "rnk")
+    val got = graft.core.Checkpoints.stable(out)
+    require(got.count() >= 5,
+      "q102 premise: every query must rank neighbors from the probed cells")
+    got.orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(semanticDedup, semanticDedupMultiProbe,
     semanticIncremental.gated, semanticIncrementalMultiProbe.gated,
     semanticRetrainLoop.gated, semanticStreamIngest.gated,
-    semanticTimeTravel.gated)
+    semanticTimeTravel.gated, annServeIndex)
 }

@@ -592,4 +592,79 @@ class SemanticIndexSpec extends SparkSpec {
     assert(meta.contains("\"target_cluster_size\":256"),
       s"a default retrain must not reset the fill target: $meta")
   }
+
+  // ---- ANN serving against the persisted index (searchTopK) ----
+
+  private def topkSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("q_id"), col("n_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("searchTopK: probing every cell IS brute force; recall monotone in nProbe; reads only probed cells") {
+    val slice = corpus.filter(col("vec_id") % 4 =!= 0)
+    val root = tmpDir("sem_idx_serve")
+    SemanticIndex.init(spark, root, slice, Tau)
+    SemanticIndex.ingest(slice, root).count()
+    val queries = corpus.filter(col("vec_id") < 10)
+    val k = 5
+
+    // brute-force comparator over the indexed slice, identical
+    // arithmetic and tie-breaks (dot/norm kernel, sim desc then n_id)
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.queries.Embeddings.dot _
+    val norm = graft.queries.Embeddings.norm _
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = topkSet(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(slice.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (norm(col("q_emb")) * norm(col("n_emb")))).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k))
+
+    assert(topkSet(SemanticIndex.searchTopK(spark, root, queries, k,
+      nProbe = Int.MaxValue)) == exact,
+      "probing every cell must BE exact brute force")
+    def recall(nProbe: Int): Double = {
+      val got = topkSet(SemanticIndex.searchTopK(spark, root, queries, k, nProbe))
+        .map(t => (t._1, t._2))
+      val want = exact.map(t => (t._1, t._2))
+      got.intersect(want).size.toDouble / want.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"recall must be monotone in nProbe: nProbe=1 $r1 > nProbe=2 $r2")
+    assert(r2 > 0.5, s"sane fixture: nProbe=2 recall@5 should clear 0.5, got $r2")
+  }
+
+  test("searchTopK on a multi-probe index: replicas dedup to one candidate; asOf pins the served view") {
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val root = tmpDir("sem_idx_serve_mp")
+    SemanticIndex.init(spark, root, half, Tau, nProbe = 2)
+    SemanticIndex.ingest(half, root).count()
+    val pin = SemanticIndex.currentVersion(root)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val atPin = topkSet(SemanticIndex.searchTopK(spark, root, queries, 4, nProbe = 2))
+    assert(atPin.nonEmpty)
+    // replicated rows (each vector filed in its nProbe cells) must
+    // collapse: one (q_id, n_id) candidate, contiguous ranks 1..k
+    val served = SemanticIndex.searchTopK(spark, root, queries, 4, nProbe = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.length == served.distinct.length,
+      "a multi-probe replica leaked as a duplicate (q_id, n_id) candidate")
+    val ranks = SemanticIndex.searchTopK(spark, root, queries, 4, nProbe = 2)
+      .groupBy("q_id").agg(collect_set(col("rnk")).as("r"), count(lit(1)).as("n"))
+      .collect()
+    ranks.foreach { r =>
+      val rs = r.getSeq[Long](1).sorted
+      assert(rs == (1L to r.getLong(2)).toVector,
+        s"ranks must be contiguous 1..n per query, got $rs")
+    }
+    // the live index moves on; the pinned view must not
+    SemanticIndex.ingest(corpus.filter(col("vec_id") % 2 === 1), root).count()
+    assert(topkSet(SemanticIndex.searchTopK(spark, root, queries, 4, nProbe = 2,
+      asOf = Some(pin))) == atPin,
+      "searchTopK(asOf=pin) changed after a later ingest")
+    assert(topkSet(SemanticIndex.searchTopK(spark, root, queries, 4, nProbe = 2))
+      != atPin,
+      "test premise: the live search should see the second half's vectors")
+  }
 }
