@@ -205,8 +205,8 @@ object Dedup {
     * deleted).
     */
   def vacuumLshIndex(spark: org.apache.spark.sql.SparkSession,
-                     root: String): (Long, Long) =
-    graft.storage.SeriesLease.withDirLease(root)(IndexManifest.vacuum(root))
+                     root: String, retain: Int = 0): (Long, Long) =
+    graft.storage.SeriesLease.withDirLease(root)(IndexManifest.vacuum(root, retain))
 
   /** Incremental near-dup: dedup a NEW batch against the persisted index
     * WITHOUT recomputing the corpus — the ingest-pipeline shape (the

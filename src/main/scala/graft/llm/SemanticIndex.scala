@@ -772,11 +772,13 @@ object SemanticIndex {
     * delete unreferenced payload files (crashed writers' orphans, files
     * replaced by label rewrites / compaction / retrain). THE one
     * operation that invalidates pinned reads and time travel — schedule
-    * it like compaction. Returns (data files deleted, log versions
-    * deleted).
+    * it like compaction. `retain` keeps the last N versions foldable
+    * ([[decisionsAsOf]]/[[searchTopK]](asOf) inside the window survive
+    * — the Delta `VACUUM ... RETAIN` contract in versions); 0 reclaims
+    * all history. Returns (data files deleted, log versions deleted).
     */
-  def vacuum(spark: SparkSession, root: String): (Long, Long) =
-    graft.storage.SeriesLease.withDirLease(root)(IndexManifest.vacuum(root))
+  def vacuum(spark: SparkSession, root: String, retain: Int = 0): (Long, Long) =
+    graft.storage.SeriesLease.withDirLease(root)(IndexManifest.vacuum(root, retain))
 
   private val StaleTolerance = 0.10
 

@@ -265,10 +265,45 @@ object IndexManifest {
     * dir lease: a committing writer's not-yet-published payload files
     * look exactly like orphans.
     */
-  def vacuum(root: String): (Long, Long) = {
+  def vacuum(root: String): (Long, Long) = vacuum(root, retain = 0)
+
+  /** [[vacuum]] with an explicit TIME-TRAVEL RETENTION WINDOW: every
+    * seq in [N - retain, N] (N = the fresh checkpoint) stays foldable
+    * and its files stay on disk, so `state(asOf)` within the window
+    * survives the vacuum — the Delta `VACUUM ... RETAIN` contract,
+    * expressed in versions rather than hours because the manifest is
+    * the only clock this store trusts. `retain = 0` is the classic
+    * all-history reclaim.
+    *
+    * Mechanics: the fold of the window's OLDEST seq needs a start
+    * point, so the log is kept back to the newest CHECKPOINTED version
+    * ≤ (N - retain) — or the log's beginning if none — and the
+    * keep-set is that base state's files plus every file ADDED by a
+    * retained version (a file a mid-window fold could reference is
+    * never deleted, even if dead at N).
+    */
+  def vacuum(root: String, retain: Int): (Long, Long) = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
     val ckptSeq = checkpoint(root)
     val local = localRoot(root)
-    val live = state(root).files.map(f => Paths.get(local, f.path).normalize()).toSet
+    val dir = versionsDir(root)
+    val seqs = listSeqs(root)
+    val cut = math.max(1L, ckptSeq - retain)
+    val base =
+      if (retain == 0) ckptSeq
+      else seqs.filter(_ <= cut).reverse
+        .find(s => parseLines(dir.resolve(f"$s%020d.json"))._1)
+        .getOrElse(seqs.head)
+    val keep = scala.collection.mutable.Set.empty[Path]
+    state(root, asOf = Some(base)).files
+      .foreach(f => keep += Paths.get(local, f.path).normalize())
+    seqs.filter(_ > base).foreach { s =>
+      parseLines(dir.resolve(f"$s%020d.json"))._2.foreach {
+        case Line("file", Some(f), true, _) =>
+          keep += Paths.get(local, f.path).normalize()
+        case _ => ()
+      }
+    }
     val filesDir = Paths.get(local, "files")
     var dataReaped = 0L
     if (Files.isDirectory(filesDir)) {
@@ -277,7 +312,7 @@ object IndexManifest {
         // files first, then empty dirs (walk order reversed)
         val entries = all.iterator().asScala.toSeq.reverseIterator
         entries.foreach { p =>
-          if (Files.isRegularFile(p) && !live.contains(p.normalize())) {
+          if (Files.isRegularFile(p) && !keep.contains(p.normalize())) {
             Files.deleteIfExists(p); dataReaped += 1
           } else if (Files.isDirectory(p) && p != filesDir) {
             val s = Files.list(p)
@@ -287,8 +322,8 @@ object IndexManifest {
         }
       } finally all.close()
     }
-    val logsReaped = listSeqs(root).count { s =>
-      s < ckptSeq && Files.deleteIfExists(versionsDir(root).resolve(f"$s%020d.json"))
+    val logsReaped = seqs.count { s =>
+      s < base && Files.deleteIfExists(dir.resolve(f"$s%020d.json"))
     }.toLong
     (dataReaped, logsReaped)
   }

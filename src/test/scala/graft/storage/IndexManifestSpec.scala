@@ -117,6 +117,50 @@ class IndexManifestSpec extends SparkSpec {
     assert(IndexManifest.state(root).files.length == 2)
   }
 
+  test("vacuum(retain): the retention window stays foldable, history before it dies") {
+    val root = tmpDir("idxman_vac_ret")
+    (1 to 5).foreach { i => touch(root, s"files/u$i/f$i.parquet") }
+    IndexManifest.commit(root, adds = Seq(f("index", 1, "files/u1/f1.parquet")),
+      metaJson = Some("{}"), expectedSeq = 0)                             // seq 1
+    IndexManifest.commit(root, adds = Seq(f("index", 1, "files/u2/f2.parquet")),
+      expectedSeq = 1)                                                    // seq 2
+    IndexManifest.commit(root, adds = Seq(f("index", 2, "files/u3/f3.parquet")),
+      expectedSeq = 2)                                                    // seq 3
+    IndexManifest.checkpoint(root)                                        // seq 4
+    // f2 is REMOVED at seq 5: dead at head, but a seq-4 fold references
+    // it — retention must keep it on disk
+    IndexManifest.commit(root, adds = Seq(f("index", 1, "files/u4/f4.parquet")),
+      removes = Seq(f("index", 1, "files/u2/f2.parquet")), expectedSeq = 4) // seq 5
+    IndexManifest.commit(root, adds = Seq(f("index", 2, "files/u5/f5.parquet")),
+      expectedSeq = 5)                                                    // seq 6
+    touch(root, "files/orphan/dead.parquet")
+
+    // the vacuum checkpoint lands at 7; retain=2 keeps seqs 5..7
+    // foldable, which needs the log back to the seq-4 checkpoint
+    IndexManifest.vacuum(root, retain = 2)
+    assert(!Files.exists(Paths.get(root, "files/orphan/dead.parquet")),
+      "orphans are reaped regardless of retention")
+    intercept[Exception](IndexManifest.state(root, asOf = Some(3L)))
+    val at5 = IndexManifest.state(root, asOf = Some(5L))
+    assert(at5.files.map(_.path).toSet ==
+      Set("files/u1/f1.parquet", "files/u3/f3.parquet", "files/u4/f4.parquet"),
+      s"mid-window fold broken: ${at5.files.map(_.path)}")
+    at5.files.foreach(fl => assert(Files.exists(Paths.get(root, fl.path)),
+      s"retained version's file deleted: ${fl.path}"))
+    assert(Files.exists(Paths.get(root, "files/u2/f2.parquet")),
+      "f2 is dead at head but live in the retained seq-4 fold — must survive")
+    assert(IndexManifest.state(root).files.length == 4, "head state wrong")
+
+    // a second vacuum with retain=0 reclaims everything: the window
+    // dies, the dead-at-head f2 goes with it
+    IndexManifest.vacuum(root)
+    assert(!Files.exists(Paths.get(root, "files/u2/f2.parquet")),
+      "retain=0 must reclaim the dead mid-window file")
+    intercept[Exception](IndexManifest.state(root, asOf = Some(5L)))
+    assert(IndexManifest.state(root).files.length == 4,
+      "the live set must survive the full vacuum")
+  }
+
   test("meta text round-trips through the JSON-line encoding verbatim") {
     val root = tmpDir("idxman_meta")
     val meta = """{"tau":0.35,"iters":1,"k":8,"init_mean_sim":0.9123,""" +
