@@ -85,6 +85,11 @@ object ClusterCheck {
     // on the driver from the _versions log) while later commits, a
     // compaction rewrite, and a retrain exist on disk in the same tree
     "q101_semantic_time_travel",
+    // q102: the ANN serving path — probe selection against broadcast
+    // centroids, the probed-cluster manifest prune folded on the
+    // driver, and executors opening exactly the pruned file list for
+    // the candidate join + rank
+    "q102_ann_serve_index",
   )
 
   /** Order-independent, duplicate-sensitive digest computed entirely on
