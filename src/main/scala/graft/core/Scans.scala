@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism helpers. */
+object Scans {
+
+  /** Parallelism floor for kernel-heavy scans — the guide's "input skew /
+    * unsplittable file" fix (one huge gzip / single-row-group parquet):
+    * a single-row-group file scans as ONE task no matter the split
+    * config, so a per-row kernel downstream (shingling, minhash, simhash,
+    * vector math) runs single-threaded while the rest of the box idles —
+    * measured at sf0.1: q35's shingle+collect stage was 1.63 s in one
+    * task with 31 cores idle.
+    *
+    * When the scan plans fewer partitions than the session's cores,
+    * redistribute rows round-robin to one partition per core BEFORE the
+    * kernel; when the input already carries >= cores splits (any
+    * at-scale table: TB inputs split into thousands of tasks), this is
+    * the IDENTITY — no shuffle is ever added at scale, so the helper is
+    * scale-adaptive by construction, not a local-mode constant.
+    *
+    * Only correct where downstream results are partition-independent
+    * (row-local kernels, keyed joins/windows, integer/decimal
+    * aggregates — the call sites here). Do NOT use above an
+    * order-sensitive double fold.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+}

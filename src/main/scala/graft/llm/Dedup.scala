@@ -36,7 +36,7 @@ object Dedup {
                  bands: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     requireBandParams(numPerms, bands)
-    val hashSets = lshHashSets(docs, shingleLen, idCol, textCol)
+    val hashSets = lshHashSets(docs, shingleLen, idCol, textCol, fan = true)
     val sigs = lshBandRows(hashSets, numPerms, bands)
 
     // Explicit repartition by the band key on both sides: the sigs
@@ -77,9 +77,19 @@ object Dedup {
     * engines); checkpointed so band joins and verify joins reuse one
     * materialization instead of recomputing shingling+md5.
     */
+  /** `fan=true` floors the scan's parallelism before the shingle kernel
+    * (guide §2.5 unsplittable input; identity at scale) — worth one
+    * extra local exchange only for FULL-corpus builds where the kernel
+    * dominates (minhashLsh: measured −0.3 s at sf0.1); the incremental
+    * path passes false because its per-batch inputs are small and the
+    * exchange costs more than the kernel saves (measured +0.33 s on the
+    * q69 gate).
+    */
   private def lshHashSets(docs: DataFrame, shingleLen: Int,
-                          idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+                          idCol: String, textCol: String,
+                          fan: Boolean = false): DataFrame =
+    (if (fan) graft.core.Scans.fanOut(docs) else docs)
+      .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHash64(col(textCol), shingleLen).as("hs"))
       .filter(size(col("hs")) > 0)
       .pipe(graft.core.Checkpoints.stable)
@@ -383,7 +393,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame =
-    // one fused pass: tokenize + md5 + 32 bit-votes per row
+    // one fused pass: tokenize + md5 + 32 bit-votes per row (no fanOut:
+    // the kernel is cheaper than an extra exchange — measured)
     docs.select(col(idCol).as("doc_id"),
       graft.functions.SimHash32Expr(col(textCol)).as("simhash"))
 

@@ -184,12 +184,17 @@ object TextOps {
     // equal): group by hash collecting doc lists, emit all in-list
     // ordered pairs, count per pair. Shuffles the exploded table ONCE
     // instead of a two-sided self-join (the scale-relevant difference).
-    val sh = Tables.documents(s, d)
+    // fanOut: the shingle kernel dominates this query (measured 1.63 s
+    // in ONE task at sf0.1 — the single-row-group file scans as one
+    // split); at scale the scan already has >= cores splits and fanOut
+    // is the identity
+    val docs = graft.core.Scans.fanOut(Tables.documents(s, d))
+    val sh = docs
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash64(col("text"), 3)).as("shingle"))
     // |shingle set| = array size (the kernel already dedups): map-only,
     // instead of re-running the kernel + an explode + a groupBy shuffle
-    val sizes = Tables.documents(s, d)
+    val sizes = docs
       .select(col("doc_id"),
         size(graft.functions.ShingleHash64(col("text"), 3)).cast("long").as("n"))
     // Hot-shingle safety folded INTO the collect: [[BoundedLongSet]]
@@ -201,14 +206,25 @@ object TextOps {
     // The size filter keeps exactly df ∈ [2, MaxDf] (df=1 shingles
     // produce no pairs; the oracle's HAVING applies the same band).
     val bset = graft.functions.BoundedLongSet.udaf(JaccardMaxDf)
+    // The pair EXPLOSION is quadratic in list size while the per-shingle
+    // doc lists are byte-tiny, so AQE's byte-based coalescing would
+    // funnel the CPU-heavy explode into ~4 tasks (measured 859 ms at
+    // sf0.1). Round-robin repartition of the AGGREGATED lists — after
+    // the partial+final collect, so map-side aggregation is preserved —
+    // spreads the quadratic work evenly; the count is the session's
+    // initial shuffle-partition count (harness-scaled with input bytes),
+    // not a local constant. Pairs come from a double explode with a
+    // value filter (ids are a distinct set, so doc_a < doc_b keeps each
+    // unordered pair exactly once) — whole-stage-codegen generators
+    // instead of the interpreted nested transform/slice/struct builder.
+    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = sh
       .groupBy(col("shingle")).agg(bset(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, JaccardMaxDf))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(slice(ids, i + 1, size(ids) - i),
-          |    d -> struct(element_at(ids, i) AS doc_a, d AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .repartition(shufP)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter") * lit(1.0) /
