@@ -41,12 +41,26 @@ object Checkpoints {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[WeakReference[RDD[_]]]()
 
-  private def isDisabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+  /** Plan-inspection mode (see [[DisabledConf]]) — public so sibling
+    * lineage-cutting helpers ([[Scans.localizeSmall]] call sites) can
+    * honor the same hook.
+    */
+  def isDisabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption(DisabledConf).contains("true")
 
   def stable(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (isDisabled(spark)) return df
+    // idempotent: a plan that IS already a bare checkpoint/local relation
+    // has no lineage to truncate — re-checkpointing it would only add a
+    // materialization action and another block set (the double-stable
+    // shape: a caller stabilizing an ingest return that the ingest
+    // already checkpointed)
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => return df
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => return df
+      case _ => ()
+    }
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
         // idempotent: setCheckpointDir is cheap and the dir may change

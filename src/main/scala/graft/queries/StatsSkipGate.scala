@@ -176,12 +176,15 @@ object StatsSkipGate {
         min(col("seq")).cast("long").as("min_seq"),
         max(col("seq")).cast("long").as("max_seq"))
       .orderBy("user_bucket")
-    agg.collect()
+    val rows = agg.collect()
     val read = PlanInspect.filesRead(agg)
     require(read <= decision.kept.size.toLong,
       s"q94: executed scan opened $read files > the ${decision.kept.size} survivors — " +
         "the skipping read is not planning over the pruned list")
-    agg
+    // the ≤10-row result was already materialized for the executed-plan
+    // inspection above — return it as a local relation so the caller's
+    // action doesn't re-run the pruned scan + aggregation a second time
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
   val all: Seq[Q] = Seq(statsSkipScan).map(_.gated)
