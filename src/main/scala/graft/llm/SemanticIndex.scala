@@ -362,27 +362,48 @@ object SemanticIndex {
                           idCol: String, embCol: String,
                           lease: Option[graft.storage.SeriesLease.Handle]): DataFrame = {
     val spark = newBatch.sparkSession
-    val assigned = graft.core.Checkpoints.stable(IvfSearch.buildIndex(
+    // ZERO extra driver round-trips for the affected-cluster set and the
+    // staleness datum: both ride the assignment checkpoint as observed
+    // metrics (collect_set is bounded by min(|batch|, k) — the same
+    // boundedness class as the centroid collect — and the global mean
+    // equals meanAssignedSim up to float summation order; the contract
+    // compares against a 0.10 tolerance, not bits). The broadcast
+    // centroid join that prices each row's assigned cosine is folded
+    // into the same materialization. Formerly one collect job after the
+    // checkpoint (and before r17, two separate actions).
+    val assignedRaw = IvfSearch.buildIndex(
       newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
-      centroids, "embedding"))
-    // ONE driver round-trip returns both the affected-cluster set and
-    // the staleness datum: per-cluster (Σ assigned-cosine, n) rows are
-    // ≤ min(|batch|, k) — the same boundedness class as the centroid
-    // collect — and the weighted mean over them equals meanAssignedSim
-    // up to float summation order (the contract compares against a 0.10
-    // tolerance, not bits). Formerly two separate actions per ingest.
-    val perCluster = assigned
+      centroids, "embedding")
+    val assignedCols = assignedRaw.columns.toSeq
+    val obs = org.apache.spark.sql.Observation()
+    val assignedW = assignedRaw
       .join(broadcast(centroids), Seq("cluster"))
-      .groupBy("cluster")
-      .agg(sum(dot(col("embedding"), col("centroid")) /
-        (norm(col("embedding")) * norm(col("centroid")))).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-    val affected: Set[Int] = perCluster.map(_.getInt(0)).toSet
-    val nTot = perCluster.map(_.getLong(2)).sum
-    val batchSim =
-      if (nTot == 0) Double.NaN
-      else perCluster.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).sum / nTot
+      .withColumn("__sim", dot(col("embedding"), col("centroid")) /
+        (norm(col("embedding")) * norm(col("centroid"))))
+      .observe(obs, collect_set(col("cluster")).as("cs"),
+        sum(col("__sim")).as("s"), count(lit(1)).as("n"))
+    // restore the kernel's exact column set/order: the checkpoint carries
+    // the priced rows, but everything downstream (including the persisted
+    // index files) must see the unadorned assignment schema
+    val assigned = graft.core.Checkpoints.stable(assignedW)
+      .select(assignedCols.map(col): _*)
+    val (affected: Set[Int], batchSim: Double) =
+      if (graft.core.Checkpoints.isDisabled(spark)) {
+        // plan-spec mode: nothing materializes here, so the observation
+        // never fills — fall back to the explicit bounded collect
+        val perCluster = assignedW.groupBy("cluster")
+          .agg(sum(col("__sim")).as("s"), count(lit(1)).as("n")).collect()
+        val nTot = perCluster.map(_.getLong(2)).sum
+        (perCluster.map(_.getInt(0)).toSet,
+          if (nTot == 0) Double.NaN
+          else perCluster.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).sum / nTot)
+      } else {
+        val m = obs.get
+        val cs = m("cs").asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Int]).toSet
+        val n = m("n").asInstanceOf[Long]
+        (cs, if (n == 0L) Double.NaN else m("s").asInstanceOf[Double] / n)
+      }
     if (!batchSim.isNaN && batchSim < meta.initMeanSim - StaleTolerance)
       System.err.println(f"[semindex] STALE WARNING: batch mean assigned cosine " +
         f"$batchSim%.4f vs init ${meta.initMeanSim}%.4f - retrain + rebuild advised " +
@@ -472,26 +493,45 @@ object SemanticIndex {
                                idCol: String, embCol: String,
                                lease: Option[graft.storage.SeriesLease.Handle]): DataFrame = {
     val spark = newBatch.sparkSession
-    val assigned = graft.core.Checkpoints.stable(IvfSearch.buildIndexMultiProbe(
+    // metrics ride the assignment checkpoint exactly as in
+    // [[ingestRank1]]: affected = every PROBED cluster (collect_set,
+    // bounded by min(nProbe·|batch|, k)); the staleness datum averages
+    // over rank-1 rows only (tolerance-compared, not bit-compared)
+    val assignedRaw = IvfSearch.buildIndexMultiProbe(
       newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
-      centroids, "embedding", meta.nProbe))
-    // ONE driver round-trip (see ingestRank1): affected = every PROBED
-    // cluster (bounded by min(nProbe·|batch|, k)); the staleness datum
-    // averages over rank-1 rows only, weighted-mean-composed on the
-    // driver (tolerance-compared, not bit-compared)
-    val perCluster = assigned
+      centroids, "embedding", meta.nProbe)
+    val assignedCols = assignedRaw.columns.toSeq
+    val obs = org.apache.spark.sql.Observation()
+    val rank1Sim = when(col("probe_rank") === 1,
+      dot(col("embedding"), col("centroid")) /
+        (norm(col("embedding")) * norm(col("centroid"))))
+    val assignedW = assignedRaw
       .join(broadcast(centroids), Seq("cluster"))
-      .groupBy("cluster")
-      .agg(sum(when(col("probe_rank") === 1,
-        dot(col("embedding"), col("centroid")) /
-          (norm(col("embedding")) * norm(col("centroid"))))).as("s"),
+      .withColumn("__sim", rank1Sim)
+      .observe(obs, collect_set(col("cluster")).as("cs"),
+        sum(col("__sim")).as("s"),
         coalesce(sum(when(col("probe_rank") === 1, 1L)), lit(0L)).as("n"))
-      .collect()
-    val affected: Set[Int] = perCluster.map(_.getInt(0)).toSet
-    val nTot = perCluster.map(_.getLong(2)).sum
-    val batchSim =
-      if (nTot == 0) Double.NaN
-      else perCluster.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).sum / nTot
+    val assigned = graft.core.Checkpoints.stable(assignedW)
+      .select(assignedCols.map(col): _*)
+    val (affected: Set[Int], batchSim: Double) =
+      if (graft.core.Checkpoints.isDisabled(spark)) {
+        // plan-spec mode fallback (see ingestRank1)
+        val perCluster = assignedW.groupBy("cluster")
+          .agg(sum(col("__sim")).as("s"),
+            coalesce(sum(when(col("probe_rank") === 1, 1L)), lit(0L)).as("n"))
+          .collect()
+        val nTot = perCluster.map(_.getLong(2)).sum
+        (perCluster.map(_.getInt(0)).toSet,
+          if (nTot == 0) Double.NaN
+          else perCluster.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).sum / nTot)
+      } else {
+        val m = obs.get
+        val cs = m("cs").asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Int]).toSet
+        val n = m("n").asInstanceOf[Long]
+        val s = m("s") match { case null => 0.0; case x => x.asInstanceOf[Double] }
+        (cs, if (n == 0L) Double.NaN else s / n)
+      }
     if (!batchSim.isNaN && batchSim < meta.initMeanSim - StaleTolerance)
       System.err.println(f"[semindex] STALE WARNING: batch mean assigned cosine " +
         f"$batchSim%.4f vs init ${meta.initMeanSim}%.4f - retrain + rebuild advised " +

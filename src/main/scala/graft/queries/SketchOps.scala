@@ -93,11 +93,18 @@ object SketchOps {
     val shardSketches = docs
       .groupBy((col("doc_id") % 8).as("shard"))
       .agg(hll_sketch_agg(col("text")).as("sk"))
-    val merged = shardSketches
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head().getLong(0)
-    val direct = docs
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est")).head().getLong(0)
-    val exact = docs.agg(count_distinct(col("text"))).head().getLong(0)
+    // all three premise numbers in ONE action: the merged-shard estimate
+    // still flows through the full two-level union plan (the mergeability
+    // machinery under test), the direct sketch and the exact distinct
+    // share the second scan, and the two 1-row aggregates meet in a
+    // cross join — one driver round-trip instead of three
+    val p = shardSketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+      .crossJoin(docs.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("direct"),
+        count_distinct(col("text")).as("exact")))
+      .head()
+    val (merged, direct, exact) = (p.getLong(0), p.getLong(1), p.getLong(2))
     def within(a: Long, b: Long, tol: Double): Boolean =
       math.abs(a - b) <= math.max(1L, (tol * b).toLong)
     require(within(merged, exact, 0.05),

@@ -149,7 +149,15 @@ object StatsSkipGate {
        |GROUP BY user_bucket
        |ORDER BY user_bucket""".stripMargin) { (s, d) =>
     val fx = fixture(s, d)
-    val n = Tables.events(s, d).filter(col("event_type") === "click").count()
+    // n from the stats index, not a corpus scan: `seq` is the dense
+    // 0-based rank the fixture wrote over ALL clicks (rep.monotonic is
+    // require()d at write time), so the indexed global max + 1 IS the
+    // click count — a ≤ one-row-per-file metadata read replaces a full
+    // events scan per execution. The decision-tightness require below
+    // still cross-checks the derived bounds against the independent
+    // directory-walk arithmetic, so a drifted index stays loud.
+    val n = FileStatsIndex.columnMax(s, fx.indexRoot, "seq")
+      .map(_ + 1L).getOrElse(0L)
     require(n >= 4, s"q94 premise: degenerate fixture, $n click events")
     val (sLo, sHi) = (n / 4, n / 2)
 

@@ -244,6 +244,21 @@ object FileStatsIndex {
     fresh.size.toLong
   }
 
+  /** Global max of an indexed column across every stats entry — a pure
+    * metadata read (≤ one row per indexed file), the zone-map answer to
+    * "how far does this column run" that would otherwise cost a full
+    * data scan. None when the index holds no non-null entry for the
+    * column. Duplicate entries for one file (a crashed double-append)
+    * are harmless: max over a superset of true per-file maxima is the
+    * same max.
+    */
+  def columnMax(spark: SparkSession, indexRoot: String, column: String): Option[Long] = {
+    val r = snapshot(spark, indexRoot)
+      .filter(col("column") === column)
+      .agg(max(col("max_v")).as("m")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** The skip decision for `column BETWEEN lo AND hi` over `dataDir`:
     * a file is dropped only when its stats PROVE no row matches —
     * max < lo, min > hi, or the column is all-NULL in it. Unindexed
