@@ -31,6 +31,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Exact row count of a testdata parquet from its file FOOTERS — a
+    * driver-side metadata read (guide §6), equal to `count()` by the
+    * format's contract (every footer records its file's row count).
+    * For plans that only need the corpus size as a Scala value (the
+    * adaptive-K / adaptive-planes derivations) this replaces a full
+    * Spark count() action per execution with a few footer reads.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = path.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(path))
+    statuses.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** events with `ts` normalized to LONG epoch-nanoseconds, whatever the
     * file's physical encoding (see class doc). µs-typed files multiply by
     * 1000 exactly (epoch-µs ≈ 1.7e15, ×1000 ≪ Long.MaxValue); session TZ is

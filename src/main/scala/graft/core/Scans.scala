@@ -26,7 +26,11 @@ object Scans {
     * order-sensitive double fold.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    // measurement/ops hook: `graft.scan.fanOut=off` disables the floor
+    // wholesale (the r18 8-vs-32-core cost/benefit A/B runs both ways)
+    if (spark.conf.getOption("graft.scan.fanOut").contains("off")) return df
+    val p = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
@@ -41,12 +45,29 @@ object Scans {
     * MUST bound the size; this is the broadcastCentroids boundedness
     * class, not a general-purpose cache.
     */
-  def localizeSmall(df: DataFrame): DataFrame = {
+  def localizeSmall(df: DataFrame,
+                    maxLocalBytes: Long = 8L << 20): DataFrame = {
     // honor the plan-inspection hook exactly like Checkpoints.stable:
     // specs that disable lineage truncation must see the full pipeline
     if (Checkpoints.isDisabled(df.sparkSession)) return df
+    val spark = df.sparkSession
     val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
+    // Representation is decided by MEASURED bytes, not row count: a
+    // LocalRelation's values are re-serialized into every plan copy
+    // that references it (and shipped with every task closure built
+    // over it), so embedding is only cheap under a few MB. Past the
+    // bound the collected rows become a parallelized RDD-backed frame
+    // instead — the lineage cut and the values are identical, the plan
+    // holds an RDD reference instead of the payload, and nothing is
+    // recomputed. The caller still owns the collect-safety bound (rows
+    // small enough to hold on the driver at all).
+    if (org.apache.spark.util.SizeEstimator.estimate(rows) <= maxLocalBytes)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq,
+          math.max(1, math.min(rows.length,
+            spark.sparkContext.defaultParallelism))),
+        df.schema)
   }
 }

@@ -36,8 +36,9 @@ object Dedup {
                  bands: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     requireBandParams(numPerms, bands)
-    val hashSets = lshHashSets(docs, shingleLen, idCol, textCol, fan = true)
-    val sigs = lshBandRows(hashSets, numPerms, bands)
+    val hb = lshHashBands(docs, shingleLen, numPerms, bands, idCol, textCol, fan = true)
+    val hashSets = lshHashSets(hb)
+    val sigs = lshBandRows(hb)
 
     // Explicit repartition by the band key on both sides: the sigs
     // checkpoint is byte-tiny, so AQE would otherwise broadcast one side
@@ -50,7 +51,10 @@ object Dedup {
       .repartition(para, col("band"), col("key"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("key"))
       .repartition(para, col("band"), col("key"))
-    val candidates = a.join(b, Seq("band", "key"))
+    // shuffle_hash for the same reason as simhashPairs: co-partitioned
+    // sides, and AQE's broadcast conversion would add a driver collect
+    // + re-broadcast on top of the explicit exchange already paid
+    val candidates = a.hint("shuffle_hash").join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
@@ -77,7 +81,16 @@ object Dedup {
     * engines); checkpointed so band joins and verify joins reuse one
     * materialization instead of recomputing shingling+md5.
     */
-  /** `fan=true` floors the scan's parallelism before the shingle kernel
+  /** ONE materialization of (doc_id, shingle-hash set, band-key array):
+    * shingling + md5 + the numPerms-perm signature + banding all run in
+    * a single fused pass and checkpoint together — the former
+    * hashSets-then-bandRows shape paid TWO sequential materialization
+    * actions per pipeline (and kept two block sets alive) for the same
+    * data. [[lshHashSets]]/[[lshBandRows]] are views over this: the
+    * band explode is a codegen Generate over an 8-element array, cheap
+    * to re-run per consumer from checkpoint blocks.
+    *
+    * `fan=true` floors the scan's parallelism before the shingle kernel
     * (guide §2.5 unsplittable input; identity at scale) — worth one
     * extra local exchange only for FULL-corpus builds where the kernel
     * dominates (minhashLsh: measured −0.3 s at sf0.1); the incremental
@@ -85,25 +98,34 @@ object Dedup {
     * exchange costs more than the kernel saves (measured +0.33 s on the
     * q69 gate).
     */
-  private def lshHashSets(docs: DataFrame, shingleLen: Int,
-                          idCol: String, textCol: String,
-                          fan: Boolean = false): DataFrame =
+  private def lshHashBands(docs: DataFrame, shingleLen: Int, numPerms: Int,
+                           bands: Int, idCol: String, textCol: String,
+                           fan: Boolean = false): DataFrame =
     (if (fan) graft.core.Scans.fanOut(docs) else docs)
       .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHash64(col(textCol), shingleLen).as("hs"))
       .filter(size(col("hs")) > 0)
+      // sig stays a NAMED intermediate: bandKeys references the
+      // signature once per band, so inlining the minhash tree into it
+      // would duplicate that tree per band key — in plan-inspection mode
+      // (checkpoints disabled, nothing truncates) iterative consumers
+      // then multiply the duplication per round (measured: OOM while
+      // copying the un-truncated nearDupClusters plan)
+      .withColumn("sig", TextHash.minhashFromHashes(col("hs"), numPerms))
+      .withColumn("bkeys", TextHash.bandKeys(col("sig"), bands, numPerms / bands))
+      .select(col("doc_id"), col("hs"), col("bkeys"))
       .pipe(graft.core.Checkpoints.stable)
 
-  /** Band rows carry ONLY (band, key, id); materialized so a self-join
-    * doesn't run the numPerms-perm signature build once per side.
+  /** The (doc_id, hs) view of [[lshHashBands]]. */
+  private def lshHashSets(hashBands: DataFrame): DataFrame =
+    hashBands.select(col("doc_id"), col("hs"))
+
+  /** The exploded (doc_id, band, key) view of [[lshHashBands]] — carries
+    * ONLY ids and keys, never the hash sets.
     */
-  private def lshBandRows(hashSets: DataFrame, numPerms: Int, bands: Int): DataFrame =
-    hashSets
-      .withColumn("sig", TextHash.minhashFromHashes(col("hs"), numPerms))
-      .select(col("doc_id"),
-        posexplode(TextHash.bandKeys(col("sig"), bands, numPerms / bands))
-          .as(Seq("band", "key")))
-      .pipe(graft.core.Checkpoints.stable)
+  private def lshBandRows(hashBands: DataFrame): DataFrame =
+    hashBands.select(col("doc_id"),
+      posexplode(col("bkeys")).as(Seq("band", "key")))
 
   // ---- persisted LSH band index (incremental ingest dedup) ----
   //
@@ -287,8 +309,9 @@ object Dedup {
       if (!append) newDocs
       else newDocs.join(
         idxHashes.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
-    val newHashes = lshHashSets(freshDocs, shingleLen, idCol, textCol)
-    val newBands = lshBandRows(newHashes, numPerms, bands)
+    val newHb = lshHashBands(freshDocs, shingleLen, numPerms, bands, idCol, textCol)
+    val newHashes = lshHashSets(newHb)
+    val newBands = lshBandRows(newHb)
       .select(col("band").cast("int").as("band"), col("key"), col("doc_id"))
 
     val para = spark.sparkContext.defaultParallelism
@@ -298,7 +321,8 @@ object Dedup {
       .union(newBands.withColumn("is_new", lit(true)))
       .select(col("doc_id").as("doc_b"), col("band"), col("key"), col("is_new"))
       .repartition(para, col("band"), col("key"))
-    val candidates = a.join(b, Seq("band", "key"))
+    // shuffle_hash: same co-partitioned-sides rationale as minhashLsh
+    val candidates = a.hint("shuffle_hash").join(b, Seq("band", "key"))
       .filter(col("doc_a") =!= col("doc_b"))
       // new-vs-new appears in both orientations — keep one; new-vs-index
       // appears once (a-side is new-only) — keep it whatever the order
@@ -473,7 +497,14 @@ object Dedup {
       col("band") > i &&
         (shiftright(col("fp_a"), i * 8) % 256 === shiftright(col("fp_b"), i * 8) % 256)
     }.reduce(_ || _)
-    a.join(b, Seq("band", "key", "ci", "cj"))
+    // shuffle_hash: both sides are already co-partitioned on the full
+    // join key by the explicit repartitions above, so a shuffled-hash
+    // join reads them in place with ZERO further data movement. Without
+    // the hint AQE converts to broadcast when one side looks small —
+    // paying the a-side exchange AND a driver collect + re-broadcast on
+    // top of it (measured in the r18 before-plan). The hint never
+    // changes the pair set, only the algorithm.
+    a.hint("shuffle_hash").join(b, Seq("band", "key", "ci", "cj"))
       // same-block groups see both orientations (dedup by id order);
       // cross-block groups see exactly one orientation (keep it even
       // when doc_a > doc_b — least/greatest below normalizes)

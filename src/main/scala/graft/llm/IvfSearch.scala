@@ -128,14 +128,18 @@ object IvfSearch {
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     // Each round's centroid table is ≤ k rows — the SAME boundedness the
     // kernels' broadcastCentroids collect already relies on — so when k
-    // is modest, materialize rounds as driver-local relations instead of
+    // is modest, materialize rounds driver-side instead of as
     // localCheckpoints: per-round lineage is cut identically, but every
     // downstream `.collect()` (one per assign round, one per kernel
     // broadcast build) becomes a zero-job short-circuit and no
     // block-manager state is left behind. Measured at sf0.1 this removes
-    // 3-4 driver round-trips per train. Past the bound (huge-k indexes,
-    // where a LocalRelation re-serialized into every plan copy would
-    // hurt) keep the checkpoint path — values identical either way.
+    // 3-4 driver round-trips per train. The row gate below bounds the
+    // COLLECT (driver memory); the representation — plan-embedded
+    // LocalRelation vs an RDD-backed frame whose payload stays out of
+    // the plan — is decided inside localizeSmall by MEASURED bytes
+    // (65k centroids × a high-dim float array would otherwise be
+    // hundreds of MB re-serialized into every plan copy). Past the row
+    // gate keep the checkpoint path — values identical either way.
     val localize = k <= (1 << 16)
     def cut(df: DataFrame): DataFrame =
       if (localize) graft.core.Scans.localizeSmall(df)

@@ -93,7 +93,11 @@ object SemanticDedup {
       .withColumn("cj", explode(sequence(col("ci"), col("k") - 1))))
     val b = side("b", _.withColumn("cj", pmod(col("id"), col("k")).cast("int"))
       .withColumn("ci", explode(sequence(lit(0), col("cj")))))
-    val joined = a.join(b, Seq("cluster", "ci", "cj"))
+    // shuffle_hash: both sides are co-partitioned on the full join key
+    // (see Dedup.simhashPairs) — without the hint AQE converts to
+    // broadcast and pays a driver collect + re-broadcast on top of the
+    // exchanges already paid
+    val joined = a.hint("shuffle_hash").join(b, Seq("cluster", "ci", "cj"))
       .filter(col("ci") =!= col("cj") || col("id_a") < col("id_b"))
     // canonical-cluster filter FIRST (cheap 2-element array intersect),
     // so redundant pair surfaces never reach the dot product

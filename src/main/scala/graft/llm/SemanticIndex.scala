@@ -948,29 +948,39 @@ object SemanticIndex {
     val meta = parseMeta(st.metaJson)
     val cents = readCentroids(spark, root, st)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cluster"))
-    val probes = queries
+    // localizeSmall: the probe table is bounded by |queries|·nProbe rows
+    // (the batch is broadcast below regardless, so driver residence is
+    // already the contract) — localized, the probed-cluster collect and
+    // the candidate join read ONE materialization instead of running the
+    // query-scan × centroid window twice per serve
+    val probes = graft.core.Scans.localizeSmall(queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(cents))
       .withColumn("__sim", dot(col("q_emb"), col("centroid")) /
         (norm(col("q_emb")) * norm(col("centroid"))))
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("cluster"))
-    // the ONLY driver-side materialization: the batch's probed-cluster
-    // set (≤ k ints), which prunes the manifest BEFORE any data file is
-    // listed or opened
+      .select(col("q_id"), col("q_emb"), col("cluster")))
+    // the batch's probed-cluster set (≤ k ints) prunes the manifest
+    // BEFORE any data file is listed or opened (zero Spark jobs on the
+    // localized relation)
     val probed = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSet
     val rows = readSub(spark, root, st, "index", indexSchemaOf(meta), Some(probed))
       .select(col("vec_id"), col("embedding"), col("cluster"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    rows.join(broadcast(probes), Seq("cluster"))
+    val cand = rows.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("q_emb"), col("embedding")) /
           (norm(col("q_emb")) * norm(col("embedding")))).as("sim"))
-      .dropDuplicates("q_id", "n_id")
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    // (q_id, n_id) duplicates exist ONLY on a multi-probe index (each
+    // vector's row replicated across its probe clusters); on a rank-1
+    // index every vec_id lives in exactly one cluster, so the pairs are
+    // unique by construction and the dedup would be a pure extra
+    // shuffle + aggregate
+    val uniq = if (meta.nProbe > 1) cand.dropDuplicates("q_id", "n_id") else cand
+    uniq.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
 }

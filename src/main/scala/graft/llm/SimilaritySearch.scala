@@ -208,9 +208,18 @@ object SimilaritySearch {
                      planes: Int = 8, dim: Int = 64,
                      idCol: String = "vec_id", embCol: String = "embedding",
                      blockSize: Int = 1024, maxBlocks: Int = 16): DataFrame = {
-    val bucketed = bucketize(corpus, planes, dim, embCol)
-      .select(col("bucket"), col(idCol).as("id"), col(embCol).as("emb"),
-        norm(col(embCol)).as("nrm"))
+    // Materialized once: the bucketed projection feeds the per-bucket
+    // histogram AND both join sides — unmaterialized, the executed plan
+    // scanned the corpus parquet THREE times, each re-running the
+    // planes×dim bucket kernel + norm (r18 before-plan). One checkpoint
+    // pays one scan + one kernel pass + a memory/disk write; the three
+    // consumers then read blocks (same trade minhashLsh makes for its
+    // shingle-hash sets). At cluster scale spark.graft.checkpointDir
+    // turns this into a reliable checkpoint like every other stable().
+    val bucketed = graft.core.Checkpoints.stable(
+      bucketize(corpus, planes, dim, embCol)
+        .select(col("bucket"), col(idCol).as("id"), col(embCol).as("emb"),
+          norm(col(embCol)).as("nrm")))
     // counts join is NOT hinted: with adaptivePlanes the histogram is
     // ~N/targetBucket rows — broadcastable at test scale (AQE will pick
     // that on its own) but a multi-GB forced broadcast at 10^11 vectors.
@@ -241,7 +250,12 @@ object SimilaritySearch {
       .select(col("bucket"), col("ci"), col("cj"),
         col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("norm_b"))
       .repartition(para, joinKey: _*)
-    a.join(b, Seq("bucket", "ci", "cj"))
+    // shuffle_hash: both sides are co-partitioned on the full join key
+    // by the repartitions above — a shuffled-hash join reads them in
+    // place; without the hint AQE converts to broadcast and pays a
+    // driver collect + re-broadcast ON TOP of the already-paid exchange
+    // (see Dedup.simhashPairs). Same pair set, cheaper algorithm.
+    a.hint("shuffle_hash").join(b, Seq("bucket", "ci", "cj"))
       // same-block groups see both orientations (dedup by id order);
       // cross-block groups see exactly one — keep it and normalize below
       .filter(col("ci") =!= col("cj") || col("id_a") < col("id_b"))
@@ -312,7 +326,11 @@ object SimilaritySearch {
     */
   def cosinePairsLshAuto(corpus: DataFrame, threshold: Double, dim: Int = 64,
                          idCol: String = "vec_id", embCol: String = "embedding",
-                         targetBucket: Long = 1024, minPlanes: Int = 8): DataFrame =
+                         targetBucket: Long = 1024, minPlanes: Int = 8,
+                         corpusCount: Option[Long] = None): DataFrame =
+    // callers that know the corpus size (e.g. from parquet footer
+    // metadata — Tables.rowCount) pass it and skip the count() action
     cosinePairsLsh(corpus, threshold,
-      adaptivePlanes(corpus.count(), targetBucket, minPlanes), dim, idCol, embCol)
+      adaptivePlanes(corpusCount.getOrElse(corpus.count()), targetBucket, minPlanes),
+      dim, idCol, embCol)
 }

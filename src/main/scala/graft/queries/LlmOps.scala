@@ -166,7 +166,8 @@ object LlmOps {
       |WHERE sim >= 0.2
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     SimilaritySearch.cosinePairsLshAuto(Tables.embeddings(s, d), 0.2,
-        targetBucket = 64, minPlanes = 4)
+        targetBucket = 64, minPlanes = 4,
+        corpusCount = Some(Tables.rowCount(s, d, "embeddings")))
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
   }

@@ -300,7 +300,14 @@ object Relational {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"))
       .distinct()
-    Tables.part(s, d).select("p_partkey").except(shipped).orderBy("p_partkey")
+    // EXCEPT == Distinct(LeftAnti(...)): the Distinct re-shuffles every
+    // surviving part key to dedup a side that is ALREADY unique
+    // (p_partkey is the part table's primary key), so the anti-join
+    // alone is set-identical — one exchange fewer at every scale, and
+    // the oracle's EXCEPT hash-gates the equivalence per run.
+    Tables.part(s, d).select("p_partkey")
+      .join(shipped, Seq("p_partkey"), "left_anti")
+      .orderBy("p_partkey")
   }
 
   /** Conditional counts (A9: the reference's gap/overlap verify report shape). */
@@ -440,7 +447,26 @@ object Relational {
       |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
 
   val scalarSubquery: Q = Q("q64_scalar_subquery", scalarSql) { (s, d) =>
-    sqlOverViews(s, scalarSql, Map("lineitem" -> Tables.lineitem(s, d)))
+    // The groupBy+join form of scalarSql (the oracle still runs the
+    // SQL-text shape above): Spark decorrelates the two correlated
+    // subqueries SEPARATELY — the executed plan scanned lineitem THREE
+    // times and ran two per-partkey aggregates, each with its own
+    // shuffle + broadcast. One aggregate computes (count, cents-sum)
+    // per partkey in a single pass, halving the aggregate work and
+    // cutting a full scan. Row-for-row equivalent: l_partkey never
+    // joins on NULL on either form (a NULL key makes the correlated
+    // predicate NULL → filtered; an inner equi-join drops it the same
+    // way), every surviving partkey has count ≥ 1, and the predicate
+    // mirrors the SQL's exact BIGINT-cents arithmetic and operator
+    // order ((cents * 2) * cnt < sum).
+    val li = Tables.lineitem(s, d)
+    val cents = round(col("l_quantity") * 100).cast("long")
+    val per = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("_cnt"), sum(cents).as("_sum_cents"))
+    li.join(per, Seq("l_partkey"))
+      .filter(cents * 2 * col("_cnt") < col("_sum_cents"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
   }
 
   val all: Seq[Q] = Seq(

@@ -80,7 +80,9 @@ object SemanticOps {
     // former corpus-wide premise agg), and the declared orderBy runs
     // over the tiny checkpoint
     val corpus = Tables.embeddings(s, d)
-    val k = SemanticDedup.adaptiveK(corpus.count(), TargetCluster)
+    // corpus size from parquet footers (Tables.rowCount — exact, a
+    // driver-side metadata read), not a count() action per execution
+    val k = SemanticDedup.adaptiveK(Tables.rowCount(s, d, "embeddings"), TargetCluster)
     val obs = org.apache.spark.sql.Observation()
     val annotated = SemanticDedup.dedup(corpus, k, Iters, Tau)
       .observe(obs, count(lit(1)).as("total"),
@@ -167,7 +169,8 @@ object SemanticOps {
        |LEFT JOIN p2 ON p2.cluster = i.cluster
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val corpus = Tables.embeddings(s, d)
-    val k = SemanticDedup.adaptiveK(corpus.count(), TargetCluster)
+    // footer-derived corpus size, as in q95
+    val k = SemanticDedup.adaptiveK(Tables.rowCount(s, d, "embeddings"), TargetCluster)
     val centroids = IvfSearch.trainCentroids(corpus, k, Iters)
     val multi = graft.core.Checkpoints.stable(IvfSearch.buildIndexMultiProbe(
       corpus.select(col("vec_id"), col("embedding")), centroids, "embedding", nProbe = 2))
@@ -663,6 +666,12 @@ object SemanticOps {
         "q100 fixture premise: the replay stream must drain")
       require(SemanticIndex.indexRows(s, idx).count() == rows,
         "q100 fixture premise: the full checkpoint replay added index rows")
+      // expected capped-corpus count, derived ONCE from the immutable
+      // input parquet (the q101 pin.txt pattern): the per-execution
+      // premise compares its OBSERVED total against this instead of
+      // re-scanning the corpus on every timed pass
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "expect.txt"),
+        emb.count().toString.getBytes("UTF-8")): Unit
     }
 
   /** q100: STREAMING ingest into the persisted semantic index — q97's
@@ -725,10 +734,14 @@ object SemanticOps {
       } else { val m = obs.get
         (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long]) }
     // every vector exactly once: a lost micro-batch or a double-committed
-    // replay is loud here before the hash gate even runs
-    require(total ==
-        Tables.embeddings(s, d).filter(col("vec_id") < Cap100).count(),
-      s"q100 premise: streamed index holds $total vectors, not the capped corpus")
+    // replay is loud here before the hash gate even runs. The expected
+    // count is the fixture-recorded capped-corpus count (expect.txt —
+    // a pure function of the immutable input, derived once per session);
+    // `total` is the per-execution OBSERVED total of the streamed index.
+    val expectN = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "expect.txt")), "UTF-8").trim.toLong
+    require(total == expectN,
+      s"q100 premise: streamed index holds $total vectors, not the capped corpus ($expectN)")
     require(dropped >= 1 && dropped < total,
       s"q100 premise: dedup dropped $dropped of $total — no work done")
     grouped.orderBy("ivf_cluster")
@@ -758,8 +771,12 @@ object SemanticOps {
       val (cb, ca) = SemanticIndex.compact(s, idx)
       require(ca < cb, s"q101 fixture premise: compaction was a no-op ($cb -> $ca files)")
       SemanticIndex.retrain(s, idx)
+      // expected premise counts, derived from the corpus ONCE here (they
+      // are pure functions of the immutable input parquet): per-execution
+      // requires compare MEASURED totals against these instead of
+      // re-scanning the corpus on every timed pass
       java.nio.file.Files.write(java.nio.file.Paths.get(root, "pin.txt"),
-        pin.toString.getBytes("UTF-8")): Unit
+        s"$pin ${prefix.count()} ${corpus.count()}".getBytes("UTF-8")): Unit
     }
 
   /** q101: INDEX TIME TRAVEL — the q71 catalog shape on the persisted
@@ -806,8 +823,9 @@ object SemanticOps {
        |FROM idx i LEFT JOIN dropped d ON i.vec_id = d.id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val root = timeTravelSemRoot(s, d)
-    val pin = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, "pin.txt")), "UTF-8").trim.toLong
+    val Array(pin, prefixN, corpusN) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "pin.txt")), "UTF-8").trim
+      .split(" ").map(_.toLong)
     val idx = s"$root/idx"
     val obs = org.apache.spark.sql.Observation()
     val pinned = SemanticIndex.decisionsAsOf(s, idx, pin)
@@ -824,13 +842,17 @@ object SemanticOps {
           coalesce(sum(when(!col("kept"), 1L)), lit(0L))).head(); (p.getLong(0), p.getLong(1))
       } else { val m = obs.get
         (m("total").asInstanceOf[Long], m("dropped").asInstanceOf[Long]) }
-    val corpus = Tables.embeddings(s, d).filter(col("vec_id") < Cap100)
     // the premise IS the feature: the pinned view holds exactly the
     // prefix corpus while the LIVE index has since ingested the rest
-    // and been retrained
-    require(total == corpus.filter(col("vec_id") % 4 =!= 0).count(),
-      s"q101 premise: pinned view holds $total vectors, not the prefix corpus")
-    require(SemanticIndex.decisions(s, idx).count() == corpus.count(),
+    // and been retrained. Expected counts come from the fixture record
+    // (pure functions of the immutable input, derived once per session
+    // — the q94 metadata pattern); the MEASURED side of each compare
+    // still runs per execution: `total` rides the result traversal as
+    // an observed metric, and the live-index count is a real read of
+    // the current manifest state.
+    require(total == prefixN,
+      s"q101 premise: pinned view holds $total vectors, not the prefix corpus ($prefixN)")
+    require(SemanticIndex.decisions(s, idx).count() == corpusN,
       "q101 premise: the live index must have moved past the pin")
     require(dropped >= 1 && dropped < total,
       s"q101 premise: dedup dropped $dropped of $total — no work done")

@@ -52,13 +52,30 @@ object StatsSkipGate {
 
   private def fixture(s: org.apache.spark.sql.SparkSession, d: String): Fixture = {
     val root = SessionTempRoots.of(s, d, "graft_statsidx_") { root =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
-        .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+      // Global dense 0-based rank over (ts, event_id) WITHOUT a
+      // single-partition WindowExec (the "No Partition Defined" WARN —
+      // a 100 TB corpus through ONE window task): range-partition on
+      // the rank key, sort within partitions, and let zipWithIndex
+      // assign the global index (range partitions are ordered, so
+      // partition-offset + local position IS the global rank; keys are
+      // unique because event_id is). The former COUNT(*) OVER () —
+      // a second single-partition window — becomes one driver count.
+      val base = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("ts"), col("event_id"), col("user_id"), col("value"))
+      val para = s.sparkContext.defaultParallelism
+      val sorted = base
+        .repartitionByRange(para, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+      val seqSchema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "seq", org.apache.spark.sql.types.LongType, nullable = false))
+      val clicks = s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        seqSchema)
+      val nClicks = clicks.count()
       val spread = clicks
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-        .withColumn("ts", expr(s"${T0}L + seq * (${Span}L div n)"))
+        .withColumn("ts", expr(s"${T0}L + seq * (${Span}L div ${nClicks}L)"))
         .select(col("ts"), col("seq"), col("user_id"), col("value"))
       val lakeRoot = s"$root/lake"
       // PRODUCTION wiring: the writer itself creates and refreshes the
@@ -86,7 +103,7 @@ object StatsSkipGate {
       // keeps. The re-timestamp is exact (ts = T0 + seq·step), so the
       // rows surviving both filters are computable in closed form and
       // the row count is `require`d too, not just the file count.
-      val n = clicks.count()
+      val n = nClicks
       val (sLo, sHi) = (n / 4, n / 2)
       val step = Span / n
       val (tLoSeq, tHiSeq) = (3 * n / 8, 3 * n / 4) // months ~9..18 of 24

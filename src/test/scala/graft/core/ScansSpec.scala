@@ -19,6 +19,26 @@ class ScansSpec extends SparkSpec {
     assert(Scans.fanOut(wide) eq wide)
   }
 
+  test("localizeSmall picks representation by measured bytes at the boundary") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val df = spark.range(0, 512).toDF("id")
+    def isLocal(out: org.apache.spark.sql.DataFrame): Boolean =
+      out.queryExecution.analyzed.isInstanceOf[LocalRelation]
+    // generous budget → plan-embedded LocalRelation (zero-job collects)
+    val small = Scans.localizeSmall(df, maxLocalBytes = 1L << 20)
+    assert(isLocal(small))
+    // budget below the measured payload → RDD-backed frame: lineage cut
+    // and values identical, but the payload stays OUT of the plan
+    val big = Scans.localizeSmall(df, maxLocalBytes = 16)
+    assert(!isLocal(big))
+    assert(big.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(big.agg(count(lit(1)), sum("id")).head() ==
+      df.agg(count(lit(1)), sum("id")).head())
+    assert(small.agg(count(lit(1)), sum("id")).head() ==
+      df.agg(count(lit(1)), sum("id")).head())
+  }
+
   test("q35 double-explode pair rule == all unordered i<j pairs of a distinct id set") {
     import spark.implicits._
     // the rewrite replaced transform(sequence)/slice struct-building with
